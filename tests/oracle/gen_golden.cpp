@@ -18,6 +18,7 @@
 
 #include "cstone/sfc/sfc.hpp"
 #include "cstone/tree/csarray.hpp"
+#include "cstone/tree/octree.hpp"
 
 using cstone::HilbertKey;
 using cstone::MortonKey;
@@ -229,6 +230,58 @@ int main()
         printArr("octree64_tree", tree);
         item();
         printArr("octree64_counts", counts);
+    }
+
+    // --- fully-linked internal octree (from the 32-bit golden tree) ---------
+    {
+        std::uniform_int_distribution<uint32_t> dk(0, cstone::nodeRange<uint32_t>(0) - 1);
+        std::vector<uint32_t> keys(20000);
+        std::mt19937 gen2(7);
+        for (auto& k : keys)
+            k = dk(gen2);
+        std::sort(keys.begin(), keys.end());
+        auto [tree, counts] = cstone::computeOctree(keys.data(), keys.data() + keys.size(), 32u);
+
+        cstone::Octree<uint32_t> oct;
+        oct.update(tree.data(), cstone::nNodes(tree));
+        auto view = oct.data();
+        std::vector<uint32_t> prefixes(view.prefixes, view.prefixes + view.numNodes);
+        std::vector<uint32_t> childOffsets(view.childOffsets, view.childOffsets + view.numNodes);
+        std::vector<uint32_t> parents(view.parents, view.parents + std::max(1, (view.numNodes - 1) / 8));
+        std::vector<uint32_t> levelRange(view.levelRange, view.levelRange + cstone::maxTreeLevel<uint32_t>{} + 2);
+        std::vector<uint32_t> internalToLeaf;
+        for (int i = 0; i < view.numNodes; ++i)
+            internalToLeaf.push_back((uint32_t)(int32_t)view.internalToLeaf[i]); // may be negative; stored as 2's complement
+        std::vector<uint32_t> leafOrder;
+        for (int i = 0; i < view.numLeafNodes; ++i)
+            leafOrder.push_back(view.leafToInternal[i + view.numInternalNodes]);
+
+        // upsweep of leaf counts
+        std::vector<unsigned> nodeCounts(view.numNodes, 0);
+        for (int i = 0; i < view.numLeafNodes; ++i)
+            nodeCounts[leafOrder[i]] = counts[i];
+        cstone::upsweep({view.levelRange, size_t(cstone::maxTreeLevel<uint32_t>{} + 2)},
+                        {view.childOffsets, size_t(view.numNodes)}, nodeCounts.data(),
+                        cstone::NodeCount<unsigned>{});
+
+        item();
+        printArr("linked32_cstree", tree);
+        item();
+        printArr("linked32_counts", counts);
+        item();
+        printArr("linked32_prefixes", prefixes);
+        item();
+        printArr("linked32_child_offsets", childOffsets);
+        item();
+        printArr("linked32_parents", parents);
+        item();
+        printArr("linked32_level_range", levelRange);
+        item();
+        printArr("linked32_internal_to_leaf", internalToLeaf);
+        item();
+        printArr("linked32_leaf_order", leafOrder);
+        item();
+        printArr("linked32_node_counts", nodeCounts);
     }
 
     // --- spanning tree from boundary keys ------------------------------------
