@@ -1,0 +1,114 @@
+"""Generic batched octree walks.
+
+TPU-native re-design of the reference's stack-based traversals (reference:
+include/cstone/traversal/traversal.hpp:69-110). Instead of one sequential
+DFS per thread, all N queries march in lockstep through their own explicit
+stacks inside a single `lax.while_loop`; each iteration pops one node per
+query and tests its 8 children as a vectorized batch. Queries that finish
+early are masked out. This is the traversal shape used for neighbor-search
+candidate collection, halo discovery, and MAC marking.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["batched_collect_leaves", "STACK_DEPTH"]
+
+STACK_DEPTH = 128  # same bound as the reference (traversal.hpp:81)
+
+
+def batched_collect_leaves(
+    child_offsets: jax.Array,
+    criterion: Callable[[jax.Array, jax.Array], jax.Array],
+    n_queries: int,
+    out_cap: int,
+    stack_depth: int = STACK_DEPTH,
+    active_mask: jax.Array | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Collect, per query, the leaf nodes passing `criterion`.
+
+    child_offsets: (cap_nodes,) linked-octree child offsets (0 = leaf).
+    criterion(query_ids (M,), node_ids (M,)) -> (M,) bool: whether to
+        descend into / accept the node. Must be pure and vectorized.
+    n_queries: static query count.
+    out_cap: static max collected leaves per query.
+    active_mask: optional (n_queries,) bool; inactive queries collect nothing.
+
+    Returns (leaves (n_queries, out_cap) int32 node indices padded with -1,
+             counts (n_queries,) int32 — may exceed out_cap to signal
+             overflow, extra entries are dropped).
+    """
+    cap_nodes = child_offsets.shape[0]
+    q_ids = jnp.arange(n_queries, dtype=jnp.int32)
+
+    root_pass = criterion(q_ids, jnp.zeros((n_queries,), jnp.int32))
+    if active_mask is not None:
+        root_pass = root_pass & active_mask
+    root_is_leaf = child_offsets[0] == 0
+
+    out = jnp.full((n_queries, out_cap), -1, dtype=jnp.int32)
+    # root == endpoint case
+    out = out.at[:, 0].set(jnp.where(root_pass & root_is_leaf, 0, -1))
+    out_n = jnp.where(root_pass & root_is_leaf, 1, 0).astype(jnp.int32)
+
+    stack = jnp.zeros((n_queries, stack_depth), dtype=jnp.int32)
+    stack_pos = jnp.where(root_pass & (~root_is_leaf), 1, 0).astype(jnp.int32)
+
+    def cond(state):
+        _, stack_pos, _, _ = state
+        return jnp.any(stack_pos > 0)
+
+    def body(state):
+        stack, stack_pos, out, out_n = state
+        active = stack_pos > 0
+        top = jnp.maximum(stack_pos - 1, 0)
+        node = stack[q_ids, top]
+        node = jnp.where(active, node, 0)
+        stack_pos = jnp.where(active, stack_pos - 1, stack_pos)
+
+        # examine 8 children of each popped node
+        child0 = child_offsets[node]
+        children = child0[:, None] + jnp.arange(8, dtype=jnp.int32)[None, :]
+        children_c = jnp.minimum(children, cap_nodes - 1)
+
+        qq = jnp.broadcast_to(q_ids[:, None], (n_queries, 8)).reshape(-1)
+        cc = children_c.reshape(-1)
+        passed = criterion(qq, cc).reshape(n_queries, 8)
+        passed = passed & active[:, None]
+
+        is_leaf = child_offsets[children_c] == 0
+        emit = passed & is_leaf
+        push = passed & (~is_leaf)
+
+        # ranks within the 8-wide axis
+        emit_rank = jnp.cumsum(emit, axis=1) - emit.astype(jnp.int32)
+        push_rank = jnp.cumsum(push, axis=1) - push.astype(jnp.int32)
+
+        # scatter emits into out
+        slot = out_n[:, None] + emit_rank
+        flat_q = jnp.broadcast_to(q_ids[:, None], (n_queries, 8))
+        slot_ok = emit & (slot < out_cap)
+        out = out.at[
+            jnp.where(slot_ok, flat_q, n_queries),
+            jnp.where(slot_ok, slot, 0),
+        ].set(children_c, mode="drop")
+        out_n = out_n + jnp.sum(emit, axis=1, dtype=jnp.int32)
+
+        # scatter pushes onto stack
+        spos = stack_pos[:, None] + push_rank
+        push_ok = push & (spos < stack_depth)
+        stack = stack.at[
+            jnp.where(push_ok, flat_q, n_queries),
+            jnp.where(push_ok, spos, 0),
+        ].set(children_c, mode="drop")
+        stack_pos = stack_pos + jnp.sum(push, axis=1, dtype=jnp.int32)
+        stack_pos = jnp.minimum(stack_pos, stack_depth)
+
+        return stack, stack_pos, out, out_n
+
+    _, _, out, out_n = jax.lax.while_loop(cond, body, (stack, stack_pos, out, out_n))
+    return out, out_n
