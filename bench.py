@@ -55,8 +55,8 @@ def main():
     capacity = max(4096, int(3.2 * n / bucket) // 1024 * 1024 + 4096)
 
     group_size = int(os.environ.get("BENCH_GROUP", 64))
-    cand_leaf_cap = int(os.environ.get("BENCH_LEAF_CAP", 96))
-    cand_cap = int(os.environ.get("BENCH_CAND_CAP", 1536))
+    cand_leaf_cap = int(os.environ.get("BENCH_LEAF_CAP", 160))
+    cand_cap = int(os.environ.get("BENCH_CAND_CAP", 3584))
     chunk = int(os.environ.get("BENCH_CHUNK", 64))
 
     @jax.jit

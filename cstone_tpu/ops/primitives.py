@@ -1,0 +1,57 @@
+"""Parallel primitive wrappers tuned for TPU/XLA lowering.
+
+Replacements for the reference's primitives_gpu.cu catalog (reference:
+include/cstone/primitives/primitives_gpu.h:39-126) in terms of XLA ops:
+sort/sort-by-key lower to the TPU sort HLO, scans to reduce-window, and
+batched lower_bound to a sort-based merge (jnp.searchsorted's scan-based
+default blows scoped VMEM for multi-million-element inputs on TPU).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["searchsorted", "sort_by_key", "exclusive_scan", "segment_max"]
+
+_SORT_METHOD_THRESHOLD = 1 << 16
+
+
+def searchsorted(a: jax.Array, v: jax.Array, side: str = "left") -> jax.Array:
+    """lower/upper_bound of v in sorted a, TPU-friendly.
+
+    Uses the sort-based merge when the combined size is large (one sort HLO
+    instead of a log(n) gather scan), matching lowerBoundGpu's role
+    (primitives_gpu.h:61-75).
+    """
+    if a.size + v.size >= _SORT_METHOD_THRESHOLD and v.ndim == a.ndim == 1:
+        return jnp.searchsorted(a, v, side=side, method="sort").astype(jnp.int32)
+    return jnp.searchsorted(a, v, side=side).astype(jnp.int32)
+
+
+def sort_by_key(keys: jax.Array, *values: jax.Array, is_stable: bool = True):
+    """Key-value sort via the variadic sort HLO (gather-free on TPU)."""
+    out = jax.lax.sort((keys,) + values, num_keys=1, is_stable=is_stable)
+    return out[0], out[1:]
+
+
+def exclusive_scan(x: jax.Array, axis: int = -1) -> jax.Array:
+    """Exclusive prefix sum along axis."""
+    inc = jnp.cumsum(x, axis=axis)
+    return inc - x
+
+
+def segment_max(values: jax.Array, segment_offsets: jax.Array, num_segments: int) -> jax.Array:
+    """Max over contiguous segments given by offsets (primitives_gpu.h:77-84).
+
+    segment_offsets: (num_segments+1,) offsets into values; empty segments
+    return 0.
+    """
+    n = values.shape[0]
+    seg_id = jnp.searchsorted(
+        segment_offsets[1:], jnp.arange(n, dtype=segment_offsets.dtype), side="right"
+    )
+    seg_id = jnp.minimum(seg_id, num_segments - 1)
+    return jax.ops.segment_max(
+        values, seg_id, num_segments=num_segments, indices_are_sorted=True
+    )

@@ -16,7 +16,7 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["batched_collect_leaves", "STACK_DEPTH"]
+__all__ = ["batched_collect_leaves", "batched_mark", "STACK_DEPTH"]
 
 STACK_DEPTH = 128  # same bound as the reference (traversal.hpp:81)
 
@@ -112,3 +112,78 @@ def batched_collect_leaves(
 
     _, _, out, out_n = jax.lax.while_loop(cond, body, (stack, stack_pos, out, out_n))
     return out, out_n
+
+
+def batched_mark(
+    child_offsets: jax.Array,
+    criterion: Callable[[jax.Array, jax.Array], jax.Array],
+    n_queries: int,
+    mark_endpoints_only: bool,
+    stack_depth: int = STACK_DEPTH,
+    active_mask: jax.Array | None = None,
+) -> jax.Array:
+    """OR-combine query traversals into one per-node flag array.
+
+    Used by halo collision detection (flags on leaves passing the criterion,
+    reference traversal/collisions.hpp:40-57) and MAC marking (flags on every
+    node the traversal descends into, reference traversal/macs.hpp:197-226).
+
+    Returns marks: (cap_nodes,) int32 in {0, 1} over sorted node indices.
+    """
+    cap_nodes = child_offsets.shape[0]
+    q_ids = jnp.arange(n_queries, dtype=jnp.int32)
+
+    root_pass = criterion(q_ids, jnp.zeros((n_queries,), jnp.int32))
+    if active_mask is not None:
+        root_pass = root_pass & active_mask
+    root_is_leaf = child_offsets[0] == 0
+
+    marks = jnp.zeros((cap_nodes,), dtype=jnp.int32)
+    mark_root = jnp.any(root_pass & (root_is_leaf | (not mark_endpoints_only)))
+    marks = marks.at[0].max(mark_root.astype(jnp.int32))
+
+    stack = jnp.zeros((n_queries, stack_depth), dtype=jnp.int32)
+    stack_pos = jnp.where(root_pass & (~root_is_leaf), 1, 0).astype(jnp.int32)
+
+    def cond(state):
+        _, stack_pos, _ = state
+        return jnp.any(stack_pos > 0)
+
+    def body(state):
+        stack, stack_pos, marks = state
+        active = stack_pos > 0
+        top = jnp.maximum(stack_pos - 1, 0)
+        node = jnp.where(active, stack[q_ids, top], 0)
+        stack_pos = jnp.where(active, stack_pos - 1, stack_pos)
+
+        child0 = child_offsets[node]
+        children = child0[:, None] + jnp.arange(8, dtype=jnp.int32)[None, :]
+        children_c = jnp.minimum(children, cap_nodes - 1)
+
+        qq = jnp.broadcast_to(q_ids[:, None], (n_queries, 8)).reshape(-1)
+        cc = children_c.reshape(-1)
+        passed = criterion(qq, cc).reshape(n_queries, 8) & active[:, None]
+
+        is_leaf = child_offsets[children_c] == 0
+        if mark_endpoints_only:
+            to_mark = passed & is_leaf
+        else:
+            to_mark = passed
+        push = passed & (~is_leaf)
+
+        marks = marks.at[jnp.where(to_mark, children_c, cap_nodes)].max(1, mode="drop")
+
+        push_rank = jnp.cumsum(push, axis=1) - push.astype(jnp.int32)
+        spos = stack_pos[:, None] + push_rank
+        push_ok = push & (spos < stack_depth)
+        flat_q = jnp.broadcast_to(q_ids[:, None], (n_queries, 8))
+        stack = stack.at[
+            jnp.where(push_ok, flat_q, n_queries),
+            jnp.where(push_ok, spos, 0),
+        ].set(children_c, mode="drop")
+        stack_pos = jnp.minimum(stack_pos + jnp.sum(push, axis=1, dtype=jnp.int32), stack_depth)
+
+        return stack, stack_pos, marks
+
+    _, _, marks = jax.lax.while_loop(cond, body, (stack, stack_pos, marks))
+    return marks

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.primitives import searchsorted as _searchsorted
 from ..sfc.keys import (
     log8_ceil,
     max_tree_level,
@@ -110,7 +111,7 @@ def compute_node_counts(
     node. If `n_codes` is given, only codes[:n_codes] are counted (codes
     beyond must sort to the end).
     """
-    ends = jnp.searchsorted(codes, tree_keys, side="left").astype(jnp.int64)
+    ends = _searchsorted(codes, tree_keys, side="left").astype(jnp.int64)
     if n_codes is not None:
         ends = jnp.minimum(ends, jnp.asarray(n_codes, dtype=jnp.int64))
     counts = (ends[1:] - ends[:-1]).astype(jnp.uint32)
@@ -156,11 +157,11 @@ def rebalance_decision(
 
     sib, level = _sibling_and_level(tree_keys, n_nodes)
 
-    # parent (8-sibling-group) counts via prefix sums, overflow-safe in i64
-    c64 = counts.astype(jnp.int64)
-    ps = jnp.concatenate([jnp.zeros((1,), jnp.int64), jnp.cumsum(c64)])
-    group = jnp.clip(idx - jnp.maximum(sib, 0), 0, cap)
-    parent_count = ps[jnp.clip(group + 8, 0, cap)] - ps[group]
+    # parent (8-sibling-group) counts: direct (cap, 8) gather + sum in i64
+    # (a large i64 cumsum lowers to a u32-pair scan that overflows TPU vmem)
+    group = jnp.clip(idx - jnp.maximum(sib, 0), 0, cap - 1)
+    sib_idx = jnp.minimum(group[:, None] + jnp.arange(8, dtype=jnp.int32)[None, :], cap - 1)
+    parent_count = jnp.sum(counts[sib_idx].astype(jnp.int64), axis=1)
 
     bucket = jnp.asarray(bucket_size, dtype=jnp.int64)
     merge = (sib > 0) & (parent_count <= bucket)
@@ -195,7 +196,7 @@ def rebalance_tree(
     new_total = inc[-1]
 
     j = jnp.arange(cap, dtype=jnp.int32)
-    src = jnp.searchsorted(inc, j, side="right").astype(jnp.int32)
+    src = _searchsorted(inc, j, side="right")
     src = jnp.minimum(src, cap - 1)
     exc = inc[src] - node_ops[src]  # exclusive scan at src
     s = (j - exc).astype(dt)

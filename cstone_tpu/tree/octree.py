@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.primitives import searchsorted as _searchsorted
 from ..sfc.keys import (
     common_prefix,
     decode_placeholder_bit,
@@ -166,7 +167,7 @@ def build_linked_octree(leaves: jax.Array, n_leaf, cap_nodes: int | None = None)
     level_starts = jnp.asarray(
         [1 << (3 * l) for l in range(lmax + 1)], dtype=np.uint64
     ).astype(dt)
-    level_range = jnp.searchsorted(prefixes_sorted, level_starts, side="left").astype(jnp.int32)
+    level_range = _searchsorted(prefixes_sorted, level_starts, side="left")
     level_range = jnp.minimum(level_range, n_nodes)
     level_range = jnp.concatenate([level_range, n_nodes[None]])
 
@@ -179,7 +180,7 @@ def build_linked_octree(leaves: jax.Array, n_leaf, cap_nodes: int | None = None)
     plen_a = decode_prefix_length(jnp.where(int_valid, prefix_a, dt.type(1)))
     child_prefix = encode_placeholder_bit(node_key, plen_a + 3)
 
-    child_idx = jnp.searchsorted(prefixes_sorted, child_prefix, side="left").astype(jnp.int32)
+    child_idx = _searchsorted(prefixes_sorted, child_prefix, side="left")
     found = (
         int_valid
         & (child_idx < n_nodes)

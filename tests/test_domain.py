@@ -1,0 +1,142 @@
+"""End-to-end Domain tests.
+
+The flagship invariant (mirrors test/integration_mpi/domain_nranks.cpp):
+identical global particles are split over ranks; after Domain.sync +
+find_neighbors over each rank's assignment, the summed neighbor counts must
+equal the single-process all-to-all reference. Runs on the 8-device virtual
+CPU mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cstone_tpu.domain.domain import Domain
+from cstone_tpu.parallel import make_mesh, rank_axis
+from cstone_tpu.sfc import PERIODIC, make_box
+from cstone_tpu.traversal import find_neighbors
+
+
+def brute_force_total(pos, h, lims, periodic):
+    X = pos.astype(np.float64)
+    L = np.array([lims[1] - lims[0], lims[3] - lims[2], lims[5] - lims[4]])
+    d = X[:, None, :] - X[None, :, :]
+    if periodic:
+        d -= L * np.rint(d / L)
+    d2 = (d**2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    r2 = (2.0 * h.astype(np.float64)) ** 2
+    return int((d2 < r2[:, None]).sum())
+
+
+def _find_counts(result, box, n_cap):
+    from cstone_tpu.traversal.neighbors import _find_neighbors_impl
+    from cstone_tpu.traversal import make_ns_view
+
+    view = make_ns_view(result.tree, result.layout, box)
+    counts, _, overflow, leaf_ovf = _find_neighbors_impl(
+        result.x, result.y, result.z, result.h, view, box,
+        ng_max=1, group_size=16, cand_leaf_cap=512, cand_cap=8192, chunk=8,
+        with_indices=False, n_targets=n_cap,
+    )
+    return counts, overflow, leaf_ovf
+
+
+@pytest.mark.parametrize("periodic", [False, True])
+def test_domain_single_rank(periodic):
+    n = 1500
+    rng = np.random.RandomState(5)
+    pos = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    h = rng.uniform(0.04, 0.1, size=n).astype(np.float32)
+    box = make_box(-1.0, 1.0, boundaries=PERIODIC if periodic else 0)
+
+    domain = Domain(
+        rank=0, n_ranks=1, bucket_size=16, key_dtype=jnp.uint64,
+        tree_capacity=1024,
+    )
+    state = domain.init_state(box=box if periodic else None,
+                              boundaries=box.boundaries)
+    state, result = domain.sync(
+        state,
+        jnp.asarray(pos[:, 0]), jnp.asarray(pos[:, 1]), jnp.asarray(pos[:, 2]),
+        jnp.asarray(h),
+    )
+    assert int(result.overflow) == 0
+    assert int(result.start_index) == 0
+    assert int(result.end_index) == n
+    # keys sorted
+    keys = np.asarray(result.keys[:n])
+    assert (np.diff(keys.astype(np.uint64)) >= 0).all()
+
+    counts, ovf, _ = _find_counts(result, state.box, n)
+    assert int(ovf) == 0
+    total = int(np.asarray(counts[:n]).astype(np.int64).sum())
+    expect = brute_force_total(pos, h, np.asarray(box.limits), periodic)
+    assert total == expect
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_domain_nranks_neighbor_sum(periodic):
+    """The flagship invariant on 8 virtual devices."""
+    n_ranks = 8
+    n_per = 250
+    n = n_ranks * n_per
+    cap = 4 * n_per  # local capacity with room for halos + imbalance
+
+    rng = np.random.RandomState(17)
+    pos = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    h = rng.uniform(0.03, 0.07, size=n).astype(np.float32)
+    box = make_box(-1.0, 1.0, boundaries=PERIODIC if periodic else 0)
+
+    mesh = make_mesh(n_ranks)
+    sharding = NamedSharding(mesh, P(rank_axis))
+
+    # each rank starts with an arbitrary slice, padded to cap
+    def pad_local(a, fill):
+        out = np.full((n_ranks, cap), fill, dtype=a.dtype)
+        out[:, :n_per] = a.reshape(n_ranks, n_per)
+        return out
+
+    xl = jax.device_put(jnp.asarray(pad_local(pos[:, 0], 0.0).reshape(-1)), sharding)
+    yl = jax.device_put(jnp.asarray(pad_local(pos[:, 1], 0.0).reshape(-1)), sharding)
+    zl = jax.device_put(jnp.asarray(pad_local(pos[:, 2], 0.0).reshape(-1)), sharding)
+    hl = jax.device_put(jnp.asarray(pad_local(h, 0.0).reshape(-1)), sharding)
+
+    def step(xl, yl, zl, hl):
+        rank = jax.lax.axis_index(rank_axis)
+        domain = Domain(
+            rank=rank, n_ranks=n_ranks, bucket_size=16, key_dtype=jnp.uint64,
+            tree_capacity=1024, axis_name=rank_axis,
+        )
+        state = domain.init_state(box=box, boundaries=box.boundaries)
+        state, result = domain.sync(
+            state, xl, yl, zl, hl, n_local=jnp.int32(n_per)
+        )
+        counts, ovf, leaf_ovf = _find_counts(result, state.box, cap)
+        j = jnp.arange(cap, dtype=jnp.int32)
+        owned = (j >= result.start_index) & (j < result.end_index)
+        local_sum = jnp.sum(jnp.where(owned, counts.astype(jnp.int64), 0))
+        total = jax.lax.psum(local_sum, rank_axis)
+        n_assigned = jax.lax.psum(
+            (result.end_index - result.start_index).astype(jnp.int64), rank_axis
+        )
+        any_overflow = jax.lax.pmax(result.overflow + ovf.astype(jnp.int32), rank_axis)
+        # validity: assigned keys strictly within the rank's range
+        return total, n_assigned, any_overflow
+
+    fn = jax.jit(
+        shard_map(
+            step, mesh=mesh,
+            in_specs=(P(rank_axis),) * 4,
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+    )
+    total, n_assigned, any_overflow = jax.block_until_ready(fn(xl, yl, zl, hl))
+    assert int(any_overflow) == 0
+    assert int(n_assigned) == n
+    expect = brute_force_total(pos, h, np.asarray(box.limits), periodic)
+    assert int(total) == expect
