@@ -63,6 +63,8 @@ class DomainState:
     box: Box
     assignment: SfcAssignment
     global_tree: CsArray
+    focus_leaves: jax.Array  # (focus_capacity+1,) cornerstone keys
+    focus_n: jax.Array
     first_call: jax.Array  # bool
 
 
@@ -113,6 +115,7 @@ class Domain:
         curve: str = HILBERT,
         local_capacity: int = 0,
         tree_capacity: int = 0,
+        focus_capacity: int = 0,
         axis_name: Optional[str] = None,
         halo_search_ext: float = 1.0,
     ):
@@ -125,6 +128,7 @@ class Domain:
         self.curve = curve
         self.local_capacity = int(local_capacity)
         self.tree_capacity = int(tree_capacity)
+        self.focus_capacity = int(focus_capacity) or int(tree_capacity)
         self.axis_name = axis_name
         self.halo_search_ext = float(halo_search_ext)
 
@@ -142,8 +146,10 @@ class Domain:
             boundaries=nr, counts=jnp.zeros((self.n_ranks,), jnp.int64)
         )
         tree = root_tree(dt, self.tree_capacity)
+        focus0 = root_tree(dt, self.focus_capacity)
         return DomainState(
             box=box, assignment=assignment, global_tree=tree,
+            focus_leaves=focus0.keys, focus_n=jnp.int32(1),
             first_call=jnp.bool_(True),
         )
 
@@ -263,26 +269,48 @@ class Domain:
         pool_keys = pool_sorted[0]
         pool_payload = pool_sorted[1:]
 
-        # ---- 6. halo discovery on the global tree --------------------------
-        linked = build_linked_octree(tree.keys, tree.n_nodes)
-        cap_leaf = tree.keys.shape[0] - 1
+        # ---- 6. focused octree (LET) ----------------------------------------
+        # Built to bucket_size_focus inside this rank's assignment, coarse
+        # outside per MAC, with mandatory resolution at all rank boundaries
+        # (focus/octree_focus_mpi.hpp:108-187). Exact counts come from the
+        # pool; see focus/octree_focus.py.
+        from ..focus.octree_focus import focus_converge, pool_leaf_counts
+        from ..traversal.macs import inv_theta_min_mac as _itm
 
-        # focus assignment: leaf index ranges per rank boundary
-        leaf_starts = _searchsorted(tree.keys, assignment.boundaries, side="left")
         my_rank = jnp.asarray(self.rank, jnp.int32)
-        first_leaf = leaf_starts[my_rank]
-        last_leaf = leaf_starts[my_rank + 1]
+        focus_start = assignment.boundaries[my_rank]
+        focus_end = assignment.boundaries[my_rank + 1]
+        n_pool_valid = self._psum(n_local).astype(jnp.int32)
 
-        # per-leaf interaction radii from the global particle pool:
-        # radius(leaf) = 2 * ext * max(h of particles in leaf) for assigned
-        # leaves of this rank (halos.hpp:116-189)
-        gscan = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int64), jnp.cumsum(tree.counts.astype(jnp.int64))]
-        ).astype(jnp.int32)
+        focus_leaves0, focus_n0 = state.focus_leaves, state.focus_n
+        _, _, linked = focus_converge(
+            focus_leaves0,
+            focus_n0,
+            pool_keys,
+            n_pool_valid,
+            box,
+            focus_start,
+            focus_end,
+            assignment.boundaries,
+            self.bucket_size_focus,
+            _itm(self.theta),
+            axis_name=self.axis_name,
+            curve=self.curve,
+        )
+        cap_leaf = linked.leaves.shape[0] - 1
+        leaf_counts = pool_leaf_counts(pool_keys, linked.leaves, n_pool_valid)
+
+        first_leaf = _searchsorted(linked.leaves, focus_start, side="left")[()]
+        last_leaf = _searchsorted(linked.leaves, focus_end, side="left")[()]
+
+        # per-leaf interaction radii: 2 * ext * max(h) over the leaf's
+        # particles, nonzero only for assigned leaves (halos.hpp:116-189)
         pool_h = pool_payload[3]
         n_pool = pool_h.shape[0]
+        leaf_pool_off = _searchsorted(pool_keys, linked.leaves, side="left")
+        leaf_pool_off = jnp.minimum(leaf_pool_off, n_pool_valid)
         pseg = jnp.searchsorted(
-            gscan[1:], jnp.arange(n_pool, dtype=jnp.int32), side="right"
+            leaf_pool_off[1:], jnp.arange(n_pool, dtype=jnp.int32), side="right"
         ).astype(jnp.int32)
         pseg = jnp.minimum(pseg, cap_leaf - 1)
         leaf_hmax = jax.ops.segment_max(
@@ -300,19 +328,19 @@ class Domain:
         )
 
         # ---- 7. local layout + buffer fill (layout.hpp:150-239) ------------
-        layout = compute_node_layout(tree.counts, halo_flags, first_leaf, last_leaf)
+        layout = compute_node_layout(leaf_counts, halo_flags, first_leaf, last_leaf)
         n_with_halos = layout[cap_leaf]
         start_index = layout[first_leaf]
         end_index = layout[last_leaf]
 
         # local slot j -> pool index: leaf i = searchsorted(layout, j)-1,
-        # pool idx = gscan[i] + (j - layout[i])
+        # pool idx = leaf_pool_off[i] + (j - layout[i])
         j = jnp.arange(cap, dtype=jnp.int32)
         leaf_of_j = (
             jnp.searchsorted(layout[1:], j, side="right").astype(jnp.int32)
         )
         leaf_of_j = jnp.minimum(leaf_of_j, cap_leaf - 1)
-        pool_idx = gscan[leaf_of_j] + (j - layout[leaf_of_j])
+        pool_idx = leaf_pool_off[leaf_of_j] + (j - layout[leaf_of_j])
         in_buffer = j < n_with_halos
         pool_idx = jnp.where(in_buffer, pool_idx, n_pool - 1)
 
@@ -324,14 +352,20 @@ class Domain:
         new_props = tuple(p[pool_idx] for p in pool_payload[4:])
 
         overflow = jnp.where(n_with_halos > cap, n_with_halos, 0).astype(jnp.int32)
+        gcap = tree.keys.shape[0] - 1
         overflow = jnp.maximum(
-            overflow, jnp.where(tree.n_nodes > cap_leaf, tree.n_nodes, 0)
+            overflow, jnp.where(tree.n_nodes > gcap, tree.n_nodes, 0)
+        )
+        overflow = jnp.maximum(
+            overflow, jnp.where(linked.n_leaf > cap_leaf, linked.n_leaf, 0)
         )
 
         new_state = DomainState(
             box=box,
             assignment=assignment,
             global_tree=tree,
+            focus_leaves=linked.leaves,
+            focus_n=linked.n_leaf,
             first_call=jnp.bool_(False),
         )
         result = SyncResult(
@@ -348,7 +382,7 @@ class Domain:
             layout=layout,
             halo_flags=halo_flags,
             tree=linked,
-            leaf_counts=tree.counts,
+            leaf_counts=leaf_counts,
             overflow=overflow,
         )
         return new_state, result

@@ -1,0 +1,150 @@
+"""Focused (locally essential) octree: combined count+MAC rebalancing.
+
+TPU-native re-design of the reference's focus-tree update (reference:
+include/cstone/focus/octree_focus.hpp:83-215 CombinedUpdate, and the
+orchestration in octree_focus_mpi.hpp:108-273). The focus tree is a
+cornerstone leaf array refined to bucket_size_focus inside the rank's
+assignment, kept coarse outside wherever the MAC passes, with mandatory
+resolution at the assignment boundaries of all peer ranks.
+
+TPU adaptation (v1): exact leaf counts come from one batched binary search
+over the globally SFC-sorted particle pool that the Domain's gather-based
+exchange already materializes — replacing the reference's rangeCount +
+peer count exchange chain (octree_focus_mpi.hpp:205-273) with a dense
+lookup. Treelet-based sparse exchange is the planned optimization.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.primitives import searchsorted as _searchsorted
+from ..sfc.box import Box
+from ..sfc.encode import HILBERT
+from ..tree.csarray import rebalance_tree
+from ..tree.octree import LinkedOctree, build_linked_octree, upsweep_sum
+from .rebalance import (
+    enforce_keys,
+    protect_ancestors,
+    rebalance_decision_essential,
+)
+from .source_center import geo_mac_spheres
+
+__all__ = [
+    "extract_leaf_ops",
+    "focus_update_once",
+    "focus_converge",
+    "pool_leaf_counts",
+]
+
+
+def extract_leaf_ops(tree: LinkedOctree, node_ops: jax.Array) -> jax.Array:
+    """Node ops -> per-cornerstone-leaf ops (octree_focus.hpp:120-137)."""
+    cap_leaf = tree.leaves.shape[0] - 1
+    leaf_pos = tree.leaf_order()
+    ops = node_ops[leaf_pos]
+    tid = jnp.arange(cap_leaf, dtype=jnp.int32)
+    return jnp.where(tid < tree.n_leaf, ops, 0)
+
+
+def pool_leaf_counts(pool_keys: jax.Array, leaves: jax.Array, n_pool=None) -> jax.Array:
+    """Exact per-leaf particle counts from the sorted global pool."""
+    pos = _searchsorted(pool_keys, leaves, side="left")
+    if n_pool is not None:
+        pos = jnp.minimum(pos, jnp.asarray(n_pool, pos.dtype))
+    return (pos[1:] - pos[:-1]).astype(jnp.uint32)
+
+
+def focus_update_once(
+    linked: LinkedOctree,
+    node_counts: jax.Array,
+    node_macs: jax.Array,
+    focus_start,
+    focus_end,
+    mandatory_keys: jax.Array,
+    bucket_size_focus: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One CombinedUpdate step (octree_focus.hpp:83-153).
+
+    Returns (new_leaves, new_n_leaf, converged).
+    """
+    ops, converged = rebalance_decision_essential(
+        linked, node_counts, node_macs, focus_start, focus_end, bucket_size_focus
+    )
+    ops, status = enforce_keys(linked, mandatory_keys, ops)
+    ops, protected = protect_ancestors(linked, ops)
+    converged = converged & (status == 0)
+
+    leaf_ops = extract_leaf_ops(linked, ops)
+    new_leaves, new_n = rebalance_tree(linked.leaves, leaf_ops, linked.n_leaf)
+    return new_leaves, new_n, converged
+
+
+def focus_converge(
+    leaves0: jax.Array,
+    n_leaf0,
+    pool_keys: jax.Array,
+    n_pool,
+    box: Box,
+    focus_start,
+    focus_end,
+    mandatory_keys: jax.Array,
+    bucket_size_focus: int,
+    inv_theta_eff: float,
+    max_iters: int = 32,
+    axis_name: str | None = None,
+    curve: str = HILBERT,
+) -> Tuple[jax.Array, jax.Array, LinkedOctree]:
+    """Fixed-point focus tree construction (octree_focus_mpi.hpp:535-553).
+
+    Iterates CombinedUpdate with exact pool counts and geometric min-MAC
+    markings until every rank's tree is unchanged. Returns (leaves, n_leaf,
+    linked tree of the converged focus).
+    """
+    from ..traversal.macs import mark_macs
+
+    def macs_of(linked: LinkedOctree) -> jax.Array:
+        centers = geo_mac_spheres(linked, inv_theta_eff, box, curve)
+        return mark_macs(
+            linked,
+            centers,
+            box,
+            focus_start,
+            focus_end,
+            linked.leaves,
+            linked.n_leaf,
+            limit_source=True,
+            curve=curve,
+        )
+
+    def counts_of(linked: LinkedOctree) -> jax.Array:
+        leaf_counts = pool_leaf_counts(pool_keys, linked.leaves, n_pool)
+        return upsweep_sum(linked, leaf_counts, saturate_u32=True)
+
+    def body(state):
+        leaves, n_leaf, _, it = state
+        linked = build_linked_octree(leaves, n_leaf)
+        node_counts = counts_of(linked)
+        node_macs = macs_of(linked)
+        new_leaves, new_n, converged = focus_update_once(
+            linked, node_counts, node_macs, focus_start, focus_end,
+            mandatory_keys, bucket_size_focus,
+        )
+        if axis_name is not None:
+            converged = jax.lax.pmin(converged.astype(jnp.int32), axis_name) > 0
+        return new_leaves, new_n, converged, it + 1
+
+    def cond(state):
+        _, _, converged, it = state
+        return (~converged) & (it < max_iters)
+
+    leaves, n_leaf, _, _ = jax.lax.while_loop(
+        cond, body, (leaves0, jnp.asarray(n_leaf0, jnp.int32), jnp.bool_(False),
+                     jnp.int32(0))
+    )
+    linked = build_linked_octree(leaves, n_leaf)
+    return leaves, n_leaf, linked

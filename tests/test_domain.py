@@ -108,8 +108,9 @@ def test_domain_nranks_neighbor_sum(periodic):
     def step(xl, yl, zl, hl):
         rank = jax.lax.axis_index(rank_axis)
         domain = Domain(
-            rank=rank, n_ranks=n_ranks, bucket_size=16, key_dtype=jnp.uint64,
-            tree_capacity=1024, axis_name=rank_axis,
+            rank=rank, n_ranks=n_ranks, bucket_size=16, bucket_size_focus=8,
+            key_dtype=jnp.uint64, tree_capacity=1024, focus_capacity=2048,
+            axis_name=rank_axis,
         )
         state = domain.init_state(box=box, boundaries=box.boundaries)
         state, result = domain.sync(
