@@ -22,6 +22,10 @@ if "/root/.axon_site" not in os.environ.get("PYTHONPATH", "") and os.path.isdir(
     sys.path.insert(0, "/root/.axon_site")
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/cstone_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,9 +66,9 @@ def main():
     @jax.jit
     def pipeline(x, y, z, hj, box):
         keys = compute_sfc_keys(x, y, z, box, key_dtype)
-        order = jnp.argsort(keys)
-        keys = keys[order]
-        xs, ys, zs, hs = x[order], y[order], z[order], hj[order]
+        keys, xs, ys, zs, hs = jax.lax.sort(
+            (keys, x, y, z, hj), num_keys=1, is_stable=False
+        )
         tree = _compute_octree_jit(keys, bucket, capacity, MAX_UINT32, None)
         linked = build_linked_octree(tree.keys, tree.n_nodes)
         layout = leaf_layout_from_counts(tree.counts)

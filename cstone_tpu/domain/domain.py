@@ -88,6 +88,8 @@ class SyncResult:
     end_index: jax.Array
     n_with_halos: jax.Array
     global_ids: jax.Array  # pool index per local slot (for halo re-exchange)
+    sort_order: jax.Array  # pre-sync local slot per sorted position
+    pool_perm: jax.Array  # (rank*cap + sorted slot) per pool position
     layout: jax.Array  # (cap_leaf+1,) local particle offsets per global leaf
     halo_flags: jax.Array
     tree: LinkedOctree
@@ -176,13 +178,23 @@ class Domain:
         properties: Sequence[jax.Array] = (),
         n_local=None,
         boundaries=None,
+        grav: bool = False,
     ) -> Tuple[DomainState, SyncResult]:
         """One sync step (domain.hpp:197-243). Call inside shard_map when
         n_ranks > 1.
 
         x, y, z, h, properties: (local_capacity,) per-rank arrays; slots
         beyond n_local are ignored. Returns (new_state, SyncResult).
+
+        With grav=True this is syncGrav (domain.hpp:246-325): properties[0]
+        must be the mass; the focus tree uses the worst-case vector MAC and
+        halo flags are augmented with mass-center vector-MAC failures
+        (focusTree.addMacs, octree_focus_mpi.hpp:601-610). The reference's
+        center-drift retry loop is unnecessary here because expansion
+        centers are recomputed exactly from the pool every step.
         """
+        if grav and len(properties) == 0:
+            raise ValueError("sync(grav=True) requires the mass as properties[0]")
         dt = self.key_dtype
         cap = x.shape[0]
         fdt = x.dtype
@@ -235,11 +247,12 @@ class Domain:
         keys = compute_sfc_keys(x, y, z, box, dt, self.curve)
         keys = jnp.where(valid, keys, rk)
         sorted_ = jax.lax.sort(
-            (keys, x, y, z, h) + props, num_keys=1, is_stable=True
+            (keys, slot, x, y, z, h) + props, num_keys=1, is_stable=True
         )
         keys = sorted_[0]
-        xs, ys, zs, hs = sorted_[1:5]
-        props_s = sorted_[5:]
+        sort_order = sorted_[1]  # SfcSorter map (primitives/gather.hpp:158)
+        xs, ys, zs, hs = sorted_[2:6]
+        props_s = sorted_[6:]
 
         # ---- 3. global tree update (update_mpi.hpp:48-104) -----------------
         tree = self._update_global_tree(state, keys, n_local)
@@ -263,11 +276,13 @@ class Domain:
         pool_payload = tuple(self._pgather(p) for p in payload)
         pool_keys = pool.reshape(-1)
         pool_payload = tuple(p.reshape(-1) for p in pool_payload)
+        pool_iota = jnp.arange(pool_keys.shape[0], dtype=jnp.int32)
         pool_sorted = jax.lax.sort(
-            (pool_keys,) + pool_payload, num_keys=1, is_stable=True
+            (pool_keys, pool_iota) + pool_payload, num_keys=1, is_stable=True
         )
         pool_keys = pool_sorted[0]
-        pool_payload = pool_sorted[1:]
+        pool_perm = pool_sorted[1]  # ExchangeLog analog (index_ranges.hpp:188)
+        pool_payload = pool_sorted[2:]
 
         # ---- 6. focused octree (LET) ----------------------------------------
         # Built to bucket_size_focus inside this rank's assignment, coarse
@@ -275,7 +290,11 @@ class Domain:
         # (focus/octree_focus_mpi.hpp:108-187). Exact counts come from the
         # pool; see focus/octree_focus.py.
         from ..focus.octree_focus import focus_converge, pool_leaf_counts
-        from ..traversal.macs import inv_theta_min_mac as _itm
+        from ..traversal.macs import inv_theta_min_mac, inv_theta_vec_mac
+
+        # syncGrav uses the worst-case vector MAC for the tree structure
+        # (domain.hpp:266)
+        _itm = inv_theta_vec_mac if grav else inv_theta_min_mac
 
         my_rank = jnp.asarray(self.rank, jnp.int32)
         focus_start = assignment.boundaries[my_rank]
@@ -326,6 +345,37 @@ class Domain:
         halo_flags = find_halos(
             linked, radii, box, first_leaf, last_leaf, self.curve
         )
+
+        if grav:
+            # vector-MAC halo augmentation from exact pool mass centers
+            # (octree_focus_mpi.hpp:369-449 updateCenters + :601-610 addMacs)
+            from ..focus.source_center import set_mac_radii, upsweep_centers
+            from ..traversal.macs import mark_macs
+
+            pool_m = pool_payload[4]
+            w = jnp.abs(pool_m)
+            sums = jnp.stack(
+                [w * pool_payload[0], w * pool_payload[1], w * pool_payload[2], w],
+                axis=-1,
+            )
+            leaf_acc = jax.ops.segment_sum(
+                sums, pseg, num_segments=cap_leaf, indices_are_sorted=True
+            )
+            mass = leaf_acc[:, 3:4]
+            inv = jnp.where(mass != 0, 1.0 / jnp.where(mass != 0, mass, 1.0), 1.0)
+            leaf_centers = jnp.concatenate([leaf_acc[:, :3] * inv, mass], axis=-1)
+            node_centers = upsweep_centers(linked, leaf_centers)
+            centers4 = set_mac_radii(
+                linked, node_centers, 1.0 / self.theta, box, self.curve
+            )
+            mac_marks = mark_macs(
+                linked, centers4, box, focus_start, focus_end,
+                linked.leaves, linked.n_leaf, limit_source=False, curve=self.curve,
+            )
+            mac_leaf = mac_marks[linked.leaf_order()]
+            halo_flags = jnp.where(
+                mine, halo_flags, halo_flags | mac_leaf.astype(halo_flags.dtype)
+            )
 
         # ---- 7. local layout + buffer fill (layout.hpp:150-239) ------------
         layout = compute_node_layout(leaf_counts, halo_flags, first_leaf, last_leaf)
@@ -379,6 +429,8 @@ class Domain:
             end_index=end_index,
             n_with_halos=n_with_halos,
             global_ids=pool_idx,
+            sort_order=sort_order,
+            pool_perm=pool_perm,
             layout=layout,
             halo_flags=halo_flags,
             tree=linked,
@@ -438,6 +490,20 @@ class Domain:
         pool_vals = pool_vals.at[tgt].set(prop, mode="drop")
         pool_vals = self._psum(pool_vals)
         return pool_vals[result.global_ids]
+
+    # ------------------------------------------------------------------
+    def reapply_sync(self, result: SyncResult, prop: jax.Array) -> jax.Array:
+        """Replay the sync exchange for an extra field (domain.hpp:335-378).
+
+        prop: (local_capacity,) values in the PRE-sync local particle order.
+        Returns the field in post-sync layout order, halos included. The
+        replay is deterministic by construction (the recorded permutations
+        replace the reference's ExchangeLog, index_ranges.hpp:188-211).
+        """
+        sorted_prop = prop[result.sort_order]
+        pool = self._pgather(sorted_prop).reshape(-1)
+        pool = pool[result.pool_perm]
+        return pool[result.global_ids]
 
     # ------------------------------------------------------------------
     def ns_view(self, result: SyncResult, box: Box) -> OctreeNsView:

@@ -254,10 +254,9 @@ def upsweep(
     """
     cap_nodes = tree.prefixes.shape[0]
     cap_leaf = tree.leaves.shape[0] - 1
+    tail = leaf_quantities.shape[1:]
 
-    q = jnp.zeros((cap_nodes,), dtype=leaf_quantities.dtype)
-    if init_internal != 0:
-        q = jnp.full((cap_nodes,), init_internal, dtype=leaf_quantities.dtype)
+    q = jnp.full((cap_nodes,) + tail, init_internal, dtype=leaf_quantities.dtype)
     # scatter leaf values to their sorted positions
     leaf_pos = tree.leaf_order()
     tid = jnp.arange(cap_leaf, dtype=jnp.int32)
@@ -274,6 +273,8 @@ def upsweep(
         c0 = tree.child_offsets
         children = q[jnp.minimum(c0[:, None] + jnp.arange(8)[None, :], cap_nodes - 1)]
         combined = combine(idx, children)
+        if tail:
+            active = active.reshape(active.shape + (1,) * len(tail))
         q = jnp.where(active, combined, q)
     return q
 

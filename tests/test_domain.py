@@ -141,3 +141,92 @@ def test_domain_nranks_neighbor_sum(periodic):
     assert int(n_assigned) == n
     expect = brute_force_total(pos, h, np.asarray(box.limits), periodic)
     assert int(total) == expect
+
+
+def test_domain_sync_grav_single_rank():
+    """syncGrav mechanics: runs, respects the invariant, halos ⊇ sync halos."""
+    n = 1200
+    rng = np.random.RandomState(23)
+    pos = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    h = rng.uniform(0.04, 0.08, size=n).astype(np.float32)
+    m = rng.uniform(0.5, 1.5, size=n).astype(np.float32)
+
+    domain = Domain(
+        rank=0, n_ranks=1, bucket_size=16, key_dtype=jnp.uint64,
+        tree_capacity=1024, theta=0.6,
+    )
+    state = domain.init_state()
+    state, result = domain.sync(
+        state,
+        jnp.asarray(pos[:, 0]), jnp.asarray(pos[:, 1]), jnp.asarray(pos[:, 2]),
+        jnp.asarray(h), properties=(jnp.asarray(m),), grav=True,
+    )
+    assert int(result.overflow) == 0
+    assert int(result.end_index) - int(result.start_index) == n
+    counts, ovf, _ = _find_counts(result, state.box, n)
+    total = int(np.asarray(counts[:n]).astype(np.int64).sum())
+    expect = brute_force_total(pos, h, np.asarray(state.box.limits), False)
+    assert total == expect
+    # mass arrives as property
+    (m_out,) = result.properties
+    assert float(jnp.sum(m_out[: n])) == pytest.approx(float(m.sum()), rel=1e-5)
+
+
+def test_domain_grav_multirank_halos_superset():
+    n_ranks, n_per = 8, 200
+    n = n_ranks * n_per
+    # at this scale theta=0.5 MAC-fails nearly every cell, so gravity halos
+    # approach the full domain; give each rank capacity for all particles
+    cap = n
+    rng = np.random.RandomState(29)
+    pos = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    h = rng.uniform(0.03, 0.06, size=n).astype(np.float32)
+    m = np.ones(n, np.float32)
+    box = make_box(-1.0, 1.0)
+
+    mesh = make_mesh(n_ranks)
+    sharding = NamedSharding(mesh, P(rank_axis))
+
+    def pad_local(a):
+        out = np.zeros((n_ranks, cap), dtype=a.dtype)
+        out[:, :n_per] = a.reshape(n_ranks, n_per)
+        return jax.device_put(jnp.asarray(out.reshape(-1)), sharding)
+
+    xl, yl, zl = pad_local(pos[:, 0]), pad_local(pos[:, 1]), pad_local(pos[:, 2])
+    hl, ml = pad_local(h), pad_local(m)
+
+    def step(xl, yl, zl, hl, ml, grav):
+        rank = jax.lax.axis_index(rank_axis)
+        domain = Domain(
+            rank=rank, n_ranks=n_ranks, bucket_size=16, bucket_size_focus=8,
+            key_dtype=jnp.uint64, tree_capacity=1024, focus_capacity=2048,
+            axis_name=rank_axis, theta=0.5,
+        )
+        state = domain.init_state()
+        state, res = domain.sync(
+            state, xl, yl, zl, hl, properties=(ml,),
+            n_local=jnp.int32(n_per), grav=grav,
+        )
+        n_halo_flags = jnp.sum(res.halo_flags)
+        return (
+            jax.lax.psum(n_halo_flags, rank_axis),
+            jax.lax.pmax(res.overflow, rank_axis),
+            jax.lax.psum((res.end_index - res.start_index).astype(jnp.int64), rank_axis),
+        )
+
+    def run(grav):
+        fn = jax.jit(
+            shard_map(
+                lambda *a: step(*a, grav=grav), mesh=mesh,
+                in_specs=(P(rank_axis),) * 5, out_specs=(P(), P(), P()),
+                check_vma=False,
+            )
+        )
+        return jax.block_until_ready(fn(xl, yl, zl, hl, ml))
+
+    flags_plain, ovf1, assigned1 = run(False)
+    flags_grav, ovf2, assigned2 = run(True)
+    assert int(ovf1) == 0 and int(ovf2) == 0
+    assert int(assigned1) == n and int(assigned2) == n
+    assert int(flags_grav) >= int(flags_plain)
+    assert int(flags_grav) > 0
