@@ -40,7 +40,7 @@ from cstone_tpu.tree.octree import build_linked_octree
 
 
 def main():
-    n = int(os.environ.get("BENCH_N", 2_000_000))
+    n = int(os.environ.get("BENCH_N", 1_000_000))
     bucket = int(os.environ.get("BENCH_BUCKET", 64))
     h_val = float(os.environ.get("BENCH_H", 0.012))  # ~100 neighbors in unit box
     reps = int(os.environ.get("BENCH_REPS", 5))

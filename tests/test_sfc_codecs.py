@@ -96,3 +96,17 @@ def test_hilbert_first_octants():
     iz = jnp.asarray([0, 1, 0, 1, 0, 1, 0, 1], dtype=jnp.uint32) * jnp.uint32(512)
     keys = ihilbert(ix, iy, iz, jnp.uint32) >> jnp.uint32(27)
     np.testing.assert_array_equal(np.asarray(keys), [0, 1, 3, 2, 7, 6, 4, 5])
+
+
+def test_hilbert_2d_inversion():
+    """2D Hilbert encode/decode inversion (hilbert.hpp:118-222)."""
+    from cstone_tpu.sfc import ihilbert_2d, decode_hilbert_2d
+
+    rng = np.random.RandomState(6)
+    for dtype, bits in [(jnp.uint32, 10), (jnp.uint64, 21)]:
+        px = jnp.asarray(rng.randint(0, 1 << bits, 512).astype(np.uint32))
+        py = jnp.asarray(rng.randint(0, 1 << bits, 512).astype(np.uint32))
+        keys = ihilbert_2d(px, py, dtype)
+        dx, dy = decode_hilbert_2d(keys)
+        np.testing.assert_array_equal(np.asarray(dx), np.asarray(px))
+        np.testing.assert_array_equal(np.asarray(dy), np.asarray(py))
