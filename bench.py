@@ -80,11 +80,11 @@ def main():
         )
         return counts, tree.n_nodes, overflow, leaf_overflow
 
-    # warmup / compile
+    # warmup / compile; time with a host readback — block_until_ready does
+    # not reliably block on the axon loopback backend
     t0 = time.time()
-    counts, n_nodes, overflow, leaf_overflow = jax.block_until_ready(
-        pipeline(x, y, z, hj, box)
-    )
+    counts, n_nodes, overflow, leaf_overflow = pipeline(x, y, z, hj, box)
+    counts_h = np.asarray(counts)
     compile_time = time.time() - t0
     assert int(overflow) == 0, f"cand_cap exceeded: {int(overflow)}"
     assert int(leaf_overflow) <= cand_leaf_cap, f"leaf cap exceeded: {int(leaf_overflow)}"
@@ -92,7 +92,8 @@ def main():
     times = []
     for _ in range(reps):
         t0 = time.time()
-        jax.block_until_ready(pipeline(x, y, z, hj, box))
+        counts, n_nodes, overflow, leaf_overflow = pipeline(x, y, z, hj, box)
+        _ = int(np.asarray(overflow))  # forces completion of the whole step
         times.append(time.time() - t0)
     best = min(times)
 

@@ -145,18 +145,27 @@ def _find_neighbors_impl(
     leaf_idx = jnp.where(leaves_sorted >= 0, leaf_idx, 0)
 
     # ---- flatten candidate particle ranges per group ----------------------
+    # segment fill via scatter + cumulative max instead of per-slot binary
+    # search (the searchsorted formulation costs ~8 serial gathers per slot)
     k = jnp.arange(cand_leaf_cap, dtype=jnp.int32)
     k_valid = k[None, :] < jnp.minimum(n_cand_leaves, cand_leaf_cap)[:, None]
     starts = view.layout[leaf_idx]
     lens = jnp.where(k_valid, view.layout[leaf_idx + 1] - starts, 0)
     inc = jnp.cumsum(lens, axis=1)
     total_cand = inc[:, -1]
+    exc_k = inc - lens  # exclusive offsets per (group, leaf slot)
+
+    row_q = jnp.arange(n_groups, dtype=jnp.int32)[:, None]
+    seg0 = jnp.zeros((n_groups, cand_cap), dtype=jnp.int32)
+    scatter_ok = k_valid & (lens > 0) & (exc_k < cand_cap)
+    seg0 = seg0.at[
+        jnp.where(scatter_ok, row_q, n_groups),
+        jnp.where(scatter_ok, exc_k, 0),
+    ].max(jnp.broadcast_to(k[None, :], exc_k.shape), mode="drop")
+    seg = jax.lax.associative_scan(jnp.maximum, seg0, axis=1)
 
     j = jnp.arange(cand_cap, dtype=jnp.int32)
-    seg = jax.vmap(lambda row: jnp.searchsorted(row, j, side="right"))(inc).astype(jnp.int32)
-    seg = jnp.minimum(seg, cand_leaf_cap - 1)
-    row_q = jnp.arange(n_groups, dtype=jnp.int32)[:, None]
-    exc = inc[row_q, seg] - lens[row_q, seg]
+    exc = exc_k[row_q, seg]
     cand_idx = starts[row_q, seg] + (j[None, :] - exc)
     cand_valid = j[None, :] < jnp.minimum(total_cand, cand_cap)[:, None]
     cand_idx = jnp.where(cand_valid, cand_idx, 0)
