@@ -82,6 +82,7 @@ def _group_reduce(arr: jax.Array, n: int, group_size: int, n_groups: int, fill, 
         "chunk",
         "with_indices",
         "n_targets",
+        "use_pallas",
     ),
 )
 def _find_neighbors_impl(
@@ -98,6 +99,7 @@ def _find_neighbors_impl(
     chunk: int,
     with_indices: bool,
     n_targets: int,
+    use_pallas: bool = False,
 ):
     n = n_targets
     fdt = x.dtype
@@ -170,7 +172,16 @@ def _find_neighbors_impl(
     cand_valid = j[None, :] < jnp.minimum(total_cand, cand_cap)[:, None]
     cand_idx = jnp.where(cand_valid, cand_idx, 0)
 
-    # ---- all-pairs distance tests, group-chunked ---------------------------
+    # ---- all-pairs distance tests -------------------------------------------
+    if use_pallas and not with_indices:
+        counts, overflow = _pairwise_pallas(
+            x, y, z, gx, gy, gz, gh, gvalid, g_center, g_size,
+            cand_idx, cand_valid, total_cand, box, n_groups, group_size,
+            cand_cap, any_pbc,
+        )
+        leaf_overflow = jnp.max(n_cand_leaves)
+        return counts[: x.shape[0]], None, overflow, leaf_overflow
+
     n_chunks = -(-n_groups // chunk)
     pad_groups = n_chunks * chunk
 
@@ -247,6 +258,78 @@ def _find_neighbors_impl(
         nbs = nbs.reshape(pad_groups * group_size, ng_max)[: x.shape[0]]
         return counts, nbs, overflow, leaf_overflow
     return counts, None, overflow, leaf_overflow
+
+
+def _pairwise_pallas(
+    x, y, z, gx, gy, gz, gh, gvalid, g_center, g_size,
+    cand_idx, cand_valid, total_cand, box: Box, n_groups: int,
+    group_size: int, cand_cap: int, any_pbc: bool,
+):
+    """Pallas count path: pre-gather candidates, poison invalid rows, wrap
+    periodic images once per group, then run the VMEM-resident kernel.
+
+    PBC validity: each candidate is wrapped to the image nearest the GROUP
+    center; this equals the per-target minimum image whenever
+    2h + group half-extent < L/2 per dimension. Violations are reported
+    through the overflow flag (callers reduce group_size or fall back).
+    """
+    from ..ops.pallas_neighbors import pairwise_count
+
+    fdt = x.dtype
+    gb = 8
+    pad_groups = -(-n_groups // gb) * gb
+
+    def padg(a, fill=0):
+        p = pad_groups - a.shape[0]
+        if p:
+            a = jnp.concatenate([a, jnp.full((p,) + a.shape[1:], fill, a.dtype)])
+        return a
+
+    cxs = x[cand_idx]
+    cys = y[cand_idx]
+    czs = z[cand_idx]
+    if any_pbc:
+        pm = jnp.asarray(box.periodic_mask, fdt)
+        L = box.lengths.astype(fdt)
+        iL = (1.0 / box.lengths).astype(fdt)
+        gcx, gcy, gcz = g_center[:, 0:1], g_center[:, 1:2], g_center[:, 2:3]
+        cxs = cxs - pm[0] * L[0] * jnp.round((cxs - gcx) * iL[0])
+        cys = cys - pm[1] * L[1] * jnp.round((cys - gcy) * iL[1])
+        czs = czs - pm[2] * L[2] * jnp.round((czs - gcz) * iL[2])
+        # validity of the single-wrap: 2h_max + group half extent < L/2
+        bad = jnp.any(
+            (2.0 * jnp.max(jnp.where(gvalid, gh, 0.0), axis=1)[:, None] + g_size)
+            >= (jnp.where(pm > 0, L, jnp.inf) * fdt.type(0.5))[None, :]
+        )
+    else:
+        bad = jnp.bool_(False)
+
+    big = fdt.type(np.finfo(fdt).max) / fdt.type(2.0)
+    poison = ~cand_valid
+    cxs = jnp.where(poison, big, cxs)
+    cys = jnp.where(poison, big, cys)
+    czs = jnp.where(poison, big, czs)
+
+    targets = padg(jnp.stack([gx, gy, gz], axis=-1))
+    cand = padg(jnp.stack([cxs, cys, czs], axis=-1))
+    r2 = (fdt.type(2.0) * gh) ** 2
+    r2 = jnp.where(gvalid, r2, fdt.type(-1.0))
+    r2 = padg(r2, -1.0)
+    cidx = padg(jnp.where(cand_valid, cand_idx, jnp.int32(-1)), -1)
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    counts = pairwise_count(
+        targets, r2, cand, cidx, group_block=gb, interpret=not on_tpu
+    )
+    counts = counts.reshape(-1)[: n_groups * group_size]
+    if counts.shape[0] < x.shape[0]:
+        counts = jnp.concatenate(
+            [counts, jnp.zeros((x.shape[0] - counts.shape[0],), counts.dtype)]
+        )
+
+    overflow = jnp.max(jnp.where(total_cand > cand_cap, total_cand, 0))
+    overflow = jnp.maximum(overflow, jnp.where(bad, jnp.int32(1 << 30), 0))
+    return counts, overflow
 
 
 def find_neighbors(
