@@ -492,6 +492,24 @@ class Domain:
         return pool_vals[result.global_ids]
 
     # ------------------------------------------------------------------
+    def diagnostics(self, state: DomainState, result: SyncResult) -> dict:
+        """Per-rank focus/halo statistics (domain.hpp:606-652). Host-side."""
+        import numpy as np_
+
+        n_leaf = int(result.tree.n_leaf)
+        flags = np_.asarray(result.halo_flags[:n_leaf])
+        return {
+            "focus_leaves": n_leaf,
+            "focus_nodes": int(result.tree.n_nodes),
+            "global_leaves": int(state.global_tree.n_nodes),
+            "halo_cells": int(flags.sum()),
+            "assigned_particles": int(result.end_index) - int(result.start_index),
+            "particles_with_halos": int(result.n_with_halos),
+            "overflow": int(result.overflow),
+            "box": np_.asarray(state.box.limits).tolist(),
+        }
+
+    # ------------------------------------------------------------------
     def reapply_sync(self, result: SyncResult, prop: jax.Array) -> jax.Array:
         """Replay the sync exchange for an extra field (domain.hpp:335-378).
 

@@ -35,8 +35,8 @@ def count_trailing_zeros(x: jax.Array) -> jax.Array:
     Matches reference countTrailingZeros (clz.hpp:120-143).
     """
     nbits = jnp.iinfo(x.dtype).bits
-    # isolate lowest set bit: x & (~x + 1); ctz = bits - 1 - clz(lowbit); 0 -> bits
-    low = x & ((~x) + x.dtype.type(1))
+    # isolate lowest set bit: x & (-x); ctz = bits - 1 - clz(lowbit); 0 -> bits
+    low = x & (jnp.zeros_like(x) - x)
     ctz = nbits - 1 - jax.lax.clz(low).astype(jnp.int32)
     return jnp.where(x == 0, jnp.int32(nbits), ctz)
 
