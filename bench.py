@@ -36,7 +36,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from cstone_tpu.domain.layout import leaf_layout_from_counts
 from cstone_tpu.sfc import PERIODIC, compute_sfc_keys, make_box
 from cstone_tpu.traversal.boxoverlap import min_distance_boxes
-from cstone_tpu.traversal.neighbors import OctreeNsView, _pairwise_pallas, make_ns_view
+from cstone_tpu.ops.pallas_neighbors_v2 import merge_leaf_runs, pairwise_count_runs
+from cstone_tpu.traversal.neighbors import OctreeNsView, make_ns_view
 from cstone_tpu.traversal.traversal import batched_collect_leaves
 from cstone_tpu.tree.csarray import MAX_UINT32, _compute_octree_jit
 from cstone_tpu.tree.octree import build_linked_octree
@@ -102,36 +103,32 @@ def main():
         return batched_collect_leaves(child_offsets, crit, n_groups, cand_leaf_cap)
     s_traverse = jax.jit(s_traverse)
 
-    @jax.jit
-    def s_flatten(internal_to_leaf, layout, leaves_sorted, n_cand):
-        leaf_idx = internal_to_leaf[jnp.maximum(leaves_sorted, 0)]
-        leaf_idx = jnp.where(leaves_sorted >= 0, leaf_idx, 0)
-        k = jnp.arange(cand_leaf_cap, dtype=jnp.int32)
-        k_valid = k[None, :] < jnp.minimum(n_cand, cand_leaf_cap)[:, None]
-        starts = layout[leaf_idx]
-        lens = jnp.where(k_valid, layout[leaf_idx + 1] - starts, 0)
-        inc = jnp.cumsum(lens, axis=1)
-        total = inc[:, -1]
-        exc_k = inc - lens
-        row_q = jnp.arange(n_groups, dtype=jnp.int32)[:, None]
-        seg0 = jnp.zeros((n_groups, cand_cap), dtype=jnp.int32)
-        ok = k_valid & (lens > 0) & (exc_k < cand_cap)
-        seg0 = seg0.at[
-            jnp.where(ok, row_q, n_groups), jnp.where(ok, exc_k, 0)
-        ].max(jnp.broadcast_to(k[None, :], exc_k.shape), mode="drop")
-        seg = jax.lax.associative_scan(jnp.maximum, seg0, axis=1)
-        j = jnp.arange(cand_cap, dtype=jnp.int32)
-        cand_idx = starts[row_q, seg] + (j[None, :] - exc_k[row_q, seg])
-        cand_valid = j[None, :] < jnp.minimum(total, cand_cap)[:, None]
-        return jnp.where(cand_valid, cand_idx, 0), cand_valid, total
+    run_cap = int(os.environ.get("BENCH_RUN_CAP", 48))
+    tile = int(os.environ.get("BENCH_TILE", 512))
+    n_pad_tiles = max(tile, (n + tile - 1) // tile * tile)
 
     @jax.jit
-    def s_pairwise(xs, ys, zs, gx, gy, gz, gh, gvalid, gc, gs,
-                   cand_idx, cand_valid, total):
-        return _pairwise_pallas(
-            xs, ys, zs, gx, gy, gz, gh, gvalid, gc, gs,
-            cand_idx, cand_valid, total, box, n_groups, group_size,
-            cand_cap, True,
+    def s_runs(internal_to_leaf, layout, leaves_sorted, n_cand):
+        leaf_idx = internal_to_leaf[jnp.maximum(leaves_sorted, 0)]
+        leaf_idx = jnp.where(leaves_sorted >= 0, leaf_idx, 0)
+        return merge_leaf_runs(leaf_idx, n_cand, layout, run_cap)
+
+    @jax.jit
+    def s_pairwise(xs, ys, zs, gx, gy, gz, gh, gvalid, run_start, run_len):
+        pad = n_pad_tiles - n
+        big = jnp.float32(1e30)
+        xs_p = jnp.concatenate([xs, jnp.full((pad,), big, jnp.float32)])
+        ys_p = jnp.concatenate([ys, jnp.full((pad,), big, jnp.float32)])
+        zs_p = jnp.concatenate([zs, jnp.full((pad,), big, jnp.float32)])
+        targets = jnp.stack([gx, gy, gz], axis=-1)
+        r2 = jnp.where(gvalid, (2.0 * gh) ** 2, -1.0)
+        box_params = jnp.concatenate(
+            [box.lengths.astype(jnp.float32),
+             jnp.asarray(box.periodic_mask, jnp.float32)]
+        )
+        return pairwise_count_runs(
+            targets, r2, run_start, run_len, xs_p, ys_p, zs_p, box_params,
+            tile=tile, interpret=jax.default_backend() == "cpu",
         )
 
     def pipeline():
@@ -145,13 +142,14 @@ def main():
         leaves_sorted, n_cand = s_traverse(
             view.centers, view.sizes, linked.child_offsets, gc, gs, gr
         )
-        cand_idx, cand_valid, total = s_flatten(
+        run_start, run_len, n_runs, run_ovf = s_runs(
             linked.internal_to_leaf, layout, leaves_sorted, n_cand
         )
-        counts, overflow = s_pairwise(
-            xs, ys, zs, gx, gy, gz, gh, gvalid, gc, gs,
-            cand_idx, cand_valid, total,
+        counts = s_pairwise(
+            xs, ys, zs, gx, gy, gz, gh, gvalid, run_start, run_len
         )
+        counts = counts.reshape(-1)
+        overflow = run_ovf.astype(jnp.int32)
         return counts, tree.n_nodes, overflow, jnp.max(n_cand)
 
     t0 = time.time()

@@ -62,7 +62,7 @@ def merge_leaf_runs(
     # previous nonempty slot; empty slots never break runs — carry forward
     # the last nonempty end via a max-scan of (position-tagged ends)
     tag = jnp.where(nonempty, k, -1)
-    last_nonempty = jax.lax.associative_scan(jnp.maximum, tag, axis=1)
+    last_nonempty = jax.lax.cummax(tag, axis=1)
     prev_tag = jnp.concatenate(
         [jnp.full((n_groups, 1), -1, jnp.int32), last_nonempty[:, :-1]], axis=1
     )

@@ -164,7 +164,7 @@ def _find_neighbors_impl(
         jnp.where(scatter_ok, row_q, n_groups),
         jnp.where(scatter_ok, exc_k, 0),
     ].max(jnp.broadcast_to(k[None, :], exc_k.shape), mode="drop")
-    seg = jax.lax.associative_scan(jnp.maximum, seg0, axis=1)
+    seg = jax.lax.cummax(seg0, axis=1)
 
     j = jnp.arange(cand_cap, dtype=jnp.int32)
     exc = exc_k[row_q, seg]
