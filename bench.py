@@ -63,6 +63,7 @@ def main():
 
     capacity = max(4096, int(3.2 * n / bucket) // 1024 * 1024 + 4096)
     n_groups = -(-n // group_size)
+    n_groups = -(-n_groups // 8) * 8  # kernel group_block alignment
 
     # ---- staged jits --------------------------------------------------------
     s_encode = jax.jit(lambda x, y, z: compute_sfc_keys(x, y, z, box, key_dtype))

@@ -114,81 +114,97 @@ def _kernel(
 ):
     G = group_size
     W = tile
-    base_target = pl.program_id(0) * G
-
-    T = tgt_ref[0]  # (G, 3)
-    r2 = r2_ref[0]  # (G,)
+    GB = tgt_ref.shape[0]
     Lx, Ly, Lz = box_ref[0, 0], box_ref[0, 1], box_ref[0, 2]
     px, py_, pz_ = box_ref[0, 3], box_ref[0, 4], box_ref[0, 5]
 
-    # flatten (run, tile) iteration: total tiles = sum(ceil(len/W)); iterate
-    # runs sequentially, tiles within runs with double-buffered DMA
-    def run_body(r, counts):
-        start = run_start_ref[0, r]
-        length = run_len_ref[0, r]
-        n_tiles = pl.cdiv(length, jnp.int32(W))
+    def group_body(g):
+        base_target = (pl.program_id(0) * GB + g) * G
+        T = tgt_ref[g]  # (G, 3)
+        r2 = r2_ref[g]  # (G,)
+        return _run_loop(g, base_target, T, r2)
 
-        def get_dma(slot, t):
-            off = jnp.minimum(start + t * W, n_particles - W)
-            return [
-                pltpu.make_async_copy(
-                    src.at[pl.ds(off, W)], dst.at[slot], sems.at[slot, i]
-                )
-                for i, (src, dst) in enumerate(
-                    ((xs_hbm, xt), (ys_hbm, yt), (zs_hbm, zt))
-                )
-            ]
+    def _run_loop(g, base_target, T, r2):
+        # flatten (run, tile) iteration: runs sequential, tiles within runs
+        # double-buffered
+        def run_body(r, counts):
+            start = run_start_ref[g, r]
+            length = run_len_ref[g, r]
+            n_tiles = pl.cdiv(length, jnp.int32(W))
 
-        @pl.when(n_tiles > 0)
-        def _():
-            for d in get_dma(0, 0):
-                d.start()
+            def get_dma(slot, t):
+                off = jnp.minimum(start + t * W, n_particles - W)
+                return [
+                    pltpu.make_async_copy(
+                        src.at[pl.ds(off, W)], dst.at[slot], sems.at[slot, i]
+                    )
+                    for i, (src, dst) in enumerate(
+                        ((xs_hbm, xt), (ys_hbm, yt), (zs_hbm, zt))
+                    )
+                ]
 
-        def tile_body(t, counts):
-            slot = jax.lax.rem(t, jnp.int32(2))
-            nxt = jax.lax.rem(t + jnp.int32(1), jnp.int32(2))
-
-            @pl.when(t + 1 < n_tiles)
+            @pl.when(n_tiles > 0)
             def _():
-                for d in get_dma(nxt, t + 1):
+                for d in get_dma(0, 0):
                     d.start()
 
-            for d in get_dma(slot, t):
-                d.wait()
+            def tile_body(t, counts):
+                slot = jax.lax.rem(t, jnp.int32(2))
+                nxt = jax.lax.rem(t + jnp.int32(1), jnp.int32(2))
 
-            off = jnp.minimum(start + t * W, n_particles - W)
-            cx = xt[slot]
-            cy = yt[slot]
-            cz = zt[slot]
-            dx = T[:, 0:1] - cx[None, :]
-            dy = T[:, 1:2] - cy[None, :]
-            dz = T[:, 2:3] - cz[None, :]
-            # minimum-image wrap (no-op for open boundaries: pbc flags are 0)
-            dx = dx - px * Lx * jnp.round(dx * pl.reciprocal(Lx, approx=False))
-            dy = dy - py_ * Ly * jnp.round(dy * pl.reciprocal(Ly, approx=False))
-            dz = dz - pz_ * Lz * jnp.round(dz * pl.reciprocal(Lz, approx=False))
-            d2 = dx * dx + dy * dy + dz * dz  # (G, W)
+                @pl.when(t + 1 < n_tiles)
+                def _():
+                    for d in get_dma(nxt, t + 1):
+                        d.start()
 
-            lanes = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) + off
-            # mask to this tile's nominal range — clamped windows overlap,
-            # so the run mask alone would double count
-            lo = start + t * W
-            in_tile = (lanes >= lo) & (lanes < lo + W)
-            in_run = (lanes >= start) & (lanes < start + length)
-            tgt_idx = base_target + jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
-            not_self = lanes != tgt_idx
-            within = (d2 < r2[:, None]) & in_run & in_tile & not_self
-            return counts + jnp.sum(within, axis=1, dtype=jnp.uint32)
+                for d in get_dma(slot, t):
+                    d.wait()
 
-        counts = jax.lax.fori_loop(0, n_tiles, tile_body, counts)
-        return counts
+                off = jnp.minimum(start + t * W, n_particles - W)
+                cx = xt[slot]
+                cy = yt[slot]
+                cz = zt[slot]
+                dx = T[:, 0:1] - cx[None, :]
+                dy = T[:, 1:2] - cy[None, :]
+                dz = T[:, 2:3] - cz[None, :]
+                # minimum-image wrap (no-op for open boundaries: flags 0).
+                # floor(v+0.5) instead of rint: at the exact half-way point
+                # both images are equidistant, so the distance is identical.
+                def wrap(d, Lax, pax):
+                    k = jnp.floor(d * pl.reciprocal(Lax, approx=False) + 0.5)
+                    return d - pax * Lax * k
 
-    counts = jnp.zeros((G,), jnp.uint32)
-    counts = jax.lax.fori_loop(0, run_cap, run_body, counts)
-    out_ref[0, :] = counts
+                dx = wrap(dx, Lx, px)
+                dy = wrap(dy, Ly, py_)
+                dz = wrap(dz, Lz, pz_)
+                d2 = dx * dx + dy * dy + dz * dz  # (G, W)
+
+                lanes = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) + off
+                # mask to this tile's nominal range — clamped windows
+                # overlap, so the run mask alone would double count
+                lo = start + t * W
+                in_tile = (lanes >= lo) & (lanes < lo + W)
+                in_run = (lanes >= start) & (lanes < start + length)
+                tgt_idx = base_target + jax.lax.broadcasted_iota(
+                    jnp.int32, (G, 1), 0
+                )
+                not_self = lanes != tgt_idx
+                within = (d2 < r2[:, None]) & in_run & in_tile & not_self
+                return counts + jnp.sum(within, axis=1, dtype=jnp.uint32)
+
+            counts = jax.lax.fori_loop(0, n_tiles, tile_body, counts)
+            return counts
+
+        counts = jnp.zeros((G,), jnp.uint32)
+        return jax.lax.fori_loop(0, run_cap, run_body, counts)
+
+    # static unroll over the group block (a traced fori here trips a
+    # closed_call caching bug in interpret mode)
+    for g in range(GB):
+        out_ref[g, :] = group_body(g)
 
 
-@partial(jax.jit, static_argnames=("tile", "interpret"))
+@partial(jax.jit, static_argnames=("tile", "group_block", "interpret"))
 def pairwise_count_runs(
     targets: jax.Array,  # (n_groups, G, 3)
     r2: jax.Array,  # (n_groups, G)
@@ -199,29 +215,36 @@ def pairwise_count_runs(
     zs: jax.Array,
     box_params: jax.Array,  # (6,) f32: Lx Ly Lz pbcx pbcy pbcz
     tile: int = 512,
+    group_block: int = 8,
     interpret: bool = False,
 ) -> jax.Array:
-    """(n_groups, G) neighbor counts via run streaming."""
+    """(n_groups, G) neighbor counts via run streaming.
+
+    n_groups must be a multiple of group_block (pad groups with zero-length
+    runs and r2 < 0).
+    """
     n_groups, G, _ = targets.shape
     R = run_start.shape[1]
     n_pad = xs.shape[0]
+    GB = group_block
+    assert n_groups % GB == 0, "pad n_groups to group_block"
 
     return pl.pallas_call(
         partial(
             _kernel, group_size=G, tile=tile, run_cap=R, n_particles=n_pad
         ),
-        grid=(n_groups,),
+        grid=(n_groups // GB,),
         in_specs=[
-            pl.BlockSpec((1, R), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, R), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((GB, R), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((GB, R), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 6), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, G, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GB, G, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GB, G), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, G), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((GB, G), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_groups, G), jnp.uint32),
         scratch_shapes=[
             pltpu.VMEM((2, tile), jnp.float32),

@@ -75,9 +75,22 @@ def test_v2_counts_match_oracle(periodic):
          jnp.asarray(box.periodic_mask, jnp.float32)]
     )
 
+    # pad groups to the kernel's group_block
+    GB = 8
+    padg = (-n_groups) % GB
+    if padg:
+        targets = jnp.concatenate([targets, jnp.zeros((padg,) + targets.shape[1:])])
+        r2 = jnp.concatenate([r2, jnp.full((padg, G), -1.0)])
+        run_start = jnp.concatenate(
+            [run_start, jnp.zeros((padg, run_start.shape[1]), jnp.int32)]
+        )
+        run_len = jnp.concatenate(
+            [run_len, jnp.zeros((padg, run_len.shape[1]), jnp.int32)]
+        )
+
     counts = pairwise_count_runs(
-        targets, r2, run_start, run_len, xs_p, ys_p, zs_p, box_params,
-        tile=W, interpret=True,
+        targets.astype(jnp.float32), r2.astype(jnp.float32), run_start, run_len,
+        xs_p, ys_p, zs_p, box_params, tile=W, interpret=True,
     )
     counts = np.asarray(counts).reshape(-1)[:n]
     expect, _, _ = brute_force_counts(x, y, z, h, np.asarray(box.limits), periodic)
