@@ -125,6 +125,7 @@ def main():
         r2 = jnp.where(gvalid, (2.0 * gh) ** 2, -1.0)
         box_params = jnp.concatenate(
             [box.lengths.astype(jnp.float32),
+             (1.0 / box.lengths).astype(jnp.float32),
              jnp.asarray(box.periodic_mask, jnp.float32)]
         )
         return pairwise_count_runs(

@@ -97,7 +97,7 @@ def merge_leaf_runs(
 def _kernel(
     run_start_ref,  # (1, R) SMEM
     run_len_ref,  # (1, R) SMEM
-    box_ref,  # (1, 6) SMEM: Lx Ly Lz pbcx pbcy pbcz
+    box_ref,  # (1, 9) SMEM: Lx Ly Lz iLx iLy iLz pbcx pbcy pbcz
     tgt_ref,  # (1, G, 3) VMEM
     r2_ref,  # (1, G) VMEM
     xs_hbm,  # (n_pad,) ANY/HBM
@@ -116,7 +116,8 @@ def _kernel(
     W = tile
     GB = tgt_ref.shape[0]
     Lx, Ly, Lz = box_ref[0, 0], box_ref[0, 1], box_ref[0, 2]
-    px, py_, pz_ = box_ref[0, 3], box_ref[0, 4], box_ref[0, 5]
+    iLx, iLy, iLz = box_ref[0, 3], box_ref[0, 4], box_ref[0, 5]
+    px, py_, pz_ = box_ref[0, 6], box_ref[0, 7], box_ref[0, 8]
 
     def group_body(g):
         base_target = (pl.program_id(0) * GB + g) * G
@@ -170,13 +171,13 @@ def _kernel(
                 # minimum-image wrap (no-op for open boundaries: flags 0).
                 # floor(v+0.5) instead of rint: at the exact half-way point
                 # both images are equidistant, so the distance is identical.
-                def wrap(d, Lax, pax):
-                    k = jnp.floor(d * pl.reciprocal(Lax, approx=False) + 0.5)
+                def wrap(d, Lax, iLax, pax):
+                    k = jnp.floor(d * iLax + 0.5)
                     return d - pax * Lax * k
 
-                dx = wrap(dx, Lx, px)
-                dy = wrap(dy, Ly, py_)
-                dz = wrap(dz, Lz, pz_)
+                dx = wrap(dx, Lx, iLx, px)
+                dy = wrap(dy, Ly, iLy, py_)
+                dz = wrap(dz, Lz, iLz, pz_)
                 d2 = dx * dx + dy * dy + dz * dz  # (G, W)
 
                 lanes = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) + off
@@ -213,7 +214,7 @@ def pairwise_count_runs(
     xs: jax.Array,  # (n_pad,) sorted coords, padded to a tile multiple
     ys: jax.Array,
     zs: jax.Array,
-    box_params: jax.Array,  # (6,) f32: Lx Ly Lz pbcx pbcy pbcz
+    box_params: jax.Array,  # (9,) f32: Lx Ly Lz iLx iLy iLz pbcx pbcy pbcz
     tile: int = 512,
     group_block: int = 8,
     interpret: bool = False,
@@ -237,7 +238,7 @@ def pairwise_count_runs(
         in_specs=[
             pl.BlockSpec((GB, R), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((GB, R), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 6), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 9), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((GB, G, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((GB, G), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),

@@ -72,6 +72,7 @@ def test_v2_counts_match_oracle(periodic):
     r2 = jnp.where(gvalid, (2.0 * gh) ** 2, -1.0)
     box_params = jnp.concatenate(
         [box.lengths.astype(jnp.float32),
+         (1.0 / box.lengths).astype(jnp.float32),
          jnp.asarray(box.periodic_mask, jnp.float32)]
     )
 
