@@ -50,7 +50,7 @@ def _kernel(tgt_ref, r2_ref, cand_ref, cidx_ref, out_ref, *, group_size: int):
         )
         not_self = ci[None, :] != tgt_idx
         within = (d2 < r2[:, None]) & not_self
-        out_ref[g, :] = jnp.sum(within, axis=1, dtype=jnp.uint32)
+        out_ref[g, :] = jnp.sum(within, axis=1, dtype=jnp.int32).astype(jnp.uint32)
         return 0
 
     jax.lax.fori_loop(0, gb, one_group, 0)

@@ -191,18 +191,18 @@ def _kernel(
                 )
                 not_self = lanes != tgt_idx
                 within = (d2 < r2[:, None]) & in_run & in_tile & not_self
-                return counts + jnp.sum(within, axis=1, dtype=jnp.uint32)
+                return counts + jnp.sum(within, axis=1, dtype=jnp.int32)
 
             counts = jax.lax.fori_loop(0, n_tiles, tile_body, counts)
             return counts
 
-        counts = jnp.zeros((G,), jnp.uint32)
+        counts = jnp.zeros((G,), jnp.int32)
         return jax.lax.fori_loop(0, run_cap, run_body, counts)
 
     # static unroll over the group block (a traced fori here trips a
     # closed_call caching bug in interpret mode)
     for g in range(GB):
-        out_ref[g, :] = group_body(g)
+        out_ref[g, :] = group_body(g).astype(jnp.uint32)
 
 
 @partial(jax.jit, static_argnames=("tile", "group_block", "interpret"))
