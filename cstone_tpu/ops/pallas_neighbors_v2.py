@@ -129,6 +129,7 @@ def _kernel(
         # flatten (run, tile) iteration: runs sequential, tiles within runs
         # double-buffered
         def run_body(r, counts):
+            r = r.astype(jnp.int32)  # fori index is i64 under x64
             start = run_start_ref[g, r]
             length = run_len_ref[g, r]
             n_tiles = pl.cdiv(length, jnp.int32(W))
@@ -150,6 +151,7 @@ def _kernel(
                     d.start()
 
             def tile_body(t, counts):
+                t = t.astype(jnp.int32)  # fori index is i64 under x64
                 slot = jax.lax.rem(t, jnp.int32(2))
                 nxt = jax.lax.rem(t + jnp.int32(1), jnp.int32(2))
 
