@@ -129,7 +129,6 @@ def _kernel(
         # flatten (run, tile) iteration: runs sequential, tiles within runs
         # double-buffered
         def run_body(r, counts):
-            r = r.astype(jnp.int32)  # fori index is i64 under x64
             start = run_start_ref[g, r]
             length = run_len_ref[g, r]
             n_tiles = pl.cdiv(length, jnp.int32(W))
@@ -151,7 +150,6 @@ def _kernel(
                     d.start()
 
             def tile_body(t, counts):
-                t = t.astype(jnp.int32)  # fori index is i64 under x64
                 slot = jax.lax.rem(t, jnp.int32(2))
                 nxt = jax.lax.rem(t + jnp.int32(1), jnp.int32(2))
 
@@ -195,11 +193,11 @@ def _kernel(
                 within = (d2 < r2[:, None]) & in_run & in_tile & not_self
                 return counts + jnp.sum(within, axis=1, dtype=jnp.int32)
 
-            counts = jax.lax.fori_loop(0, n_tiles, tile_body, counts)
+            counts = jax.lax.fori_loop(jnp.int32(0), n_tiles, tile_body, counts)
             return counts
 
         counts = jnp.zeros((G,), jnp.int32)
-        return jax.lax.fori_loop(0, run_cap, run_body, counts)
+        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(run_cap), run_body, counts)
 
     # static unroll over the group block (a traced fori here trips a
     # closed_call caching bug in interpret mode)
