@@ -146,7 +146,7 @@ def _kernel(
 
             @pl.when(n_tiles > 0)
             def _():
-                for d in get_dma(0, 0):
+                for d in get_dma(jnp.int32(0), jnp.int32(0)):
                     d.start()
 
             def tile_body(t, counts):
