@@ -137,7 +137,7 @@ def _kernel(
                 off = jnp.minimum(start + t * W, n_particles - W)
                 return [
                     pltpu.make_async_copy(
-                        src.at[pl.ds(off, W)], dst.at[slot], sems.at[slot, i]
+                        src.at[pl.ds(off, W)], dst.at[slot], sems.at[slot, jnp.int32(i)]
                     )
                     for i, (src, dst) in enumerate(
                         ((xs_hbm, xt), (ys_hbm, yt), (zs_hbm, zt))
