@@ -241,9 +241,9 @@ def pairwise_count_runs(
             pl.BlockSpec((1, 9), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((GB, G, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((GB, G), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((GB, G), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_groups, G), jnp.uint32),
