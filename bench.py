@@ -105,7 +105,7 @@ def main():
     s_traverse = jax.jit(s_traverse)
 
     run_cap = int(os.environ.get("BENCH_RUN_CAP", 48))
-    tile = int(os.environ.get("BENCH_TILE", 512))
+    tile = int(os.environ.get("BENCH_TILE", 1024))
     n_pad_tiles = max(tile, (n + tile - 1) // tile * tile)
 
     @jax.jit

@@ -100,11 +100,11 @@ def _kernel(
     box_ref,  # (1, 9) SMEM: Lx Ly Lz iLx iLy iLz pbcx pbcy pbcz
     tgt_ref,  # (1, G, 3) VMEM
     r2_ref,  # (1, G) VMEM
-    xs_hbm,  # (n_pad,) ANY/HBM
+    xs_hbm,  # (n_rows, 128) HBM — 1-D coords reshaped; rows tile to (8,128)
     ys_hbm,
     zs_hbm,
     out_ref,  # (1, G) VMEM
-    xt, yt, zt,  # (2, W) VMEM scratch tiles (double buffered)
+    xt, yt, zt,  # (2, W//128, 128) VMEM scratch tiles (double buffered)
     sems,  # DMA semaphores (2, 3)
     *,
     group_size: int,
@@ -113,7 +113,8 @@ def _kernel(
     n_particles: int,
 ):
     G = group_size
-    W = tile
+    W = tile  # elements per tile; W/128 rows, must be a multiple of 1024
+    WR = W // 128  # rows per tile
     GB = tgt_ref.shape[0]
     Lx, Ly, Lz = box_ref[0, 0], box_ref[0, 1], box_ref[0, 2]
     iLx, iLy, iLz = box_ref[0, 3], box_ref[0, 4], box_ref[0, 5]
@@ -131,13 +132,18 @@ def _kernel(
         def run_body(r, counts):
             start = run_start_ref[g, r]
             length = run_len_ref[g, r]
-            n_tiles = pl.cdiv(length, jnp.int32(W))
+            # align the window start down to a tile boundary; HBM memref
+            # slices must be 1024-element aligned
+            astart = (start // W) * W
+            n_tiles = pl.cdiv(start + length - astart, jnp.int32(W))
+            n_tiles = jnp.where(length > 0, n_tiles, 0)
 
             def get_dma(slot, t):
-                off = jnp.minimum(start + t * W, n_particles - W)
+                row = jnp.minimum((astart + t * W) // 128, (n_particles - W) // 128)
                 return [
                     pltpu.make_async_copy(
-                        src.at[pl.ds(off, W)], dst.at[slot], sems.at[slot, jnp.int32(i)]
+                        src.at[pl.ds(row, WR), :], dst.at[slot],
+                        sems.at[slot, jnp.int32(i)],
                     )
                     for i, (src, dst) in enumerate(
                         ((xs_hbm, xt), (ys_hbm, yt), (zs_hbm, zt))
@@ -161,13 +167,13 @@ def _kernel(
                 for d in get_dma(slot, t):
                     d.wait()
 
-                off = jnp.minimum(start + t * W, n_particles - W)
-                cx = xt[slot]
-                cy = yt[slot]
-                cz = zt[slot]
-                dx = T[:, 0:1] - cx[None, :]
-                dy = T[:, 1:2] - cy[None, :]
-                dz = T[:, 2:3] - cz[None, :]
+                off = jnp.minimum(astart + t * W, n_particles - W)
+                cx = xt[slot].reshape(1, W)
+                cy = yt[slot].reshape(1, W)
+                cz = zt[slot].reshape(1, W)
+                dx = T[:, 0:1] - cx
+                dy = T[:, 1:2] - cy
+                dz = T[:, 2:3] - cz
                 # minimum-image wrap (no-op for open boundaries: flags 0).
                 # floor(v+0.5) instead of rint: at the exact half-way point
                 # both images are equidistant, so the distance is identical.
@@ -183,7 +189,7 @@ def _kernel(
                 lanes = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) + off
                 # mask to this tile's nominal range — clamped windows
                 # overlap, so the run mask alone would double count
-                lo = start + t * W
+                lo = astart + t * W
                 in_tile = (lanes >= lo) & (lanes < lo + W)
                 in_run = (lanes >= start) & (lanes < start + length)
                 tgt_idx = base_target + jax.lax.broadcasted_iota(
@@ -211,7 +217,7 @@ def pairwise_count_runs(
     r2: jax.Array,  # (n_groups, G)
     run_start: jax.Array,  # (n_groups, R) int32
     run_len: jax.Array,  # (n_groups, R) int32
-    xs: jax.Array,  # (n_pad,) sorted coords, padded to a tile multiple
+    xs: jax.Array,  # (n_pad,) sorted coords, n_pad a multiple of `tile`
     ys: jax.Array,
     zs: jax.Array,
     box_params: jax.Array,  # (9,) f32: Lx Ly Lz iLx iLy iLz pbcx pbcy pbcz
@@ -229,6 +235,10 @@ def pairwise_count_runs(
     n_pad = xs.shape[0]
     GB = group_block
     assert n_groups % GB == 0, "pad n_groups to group_block"
+    assert tile % 1024 == 0, "tile must be a multiple of 1024 elements"
+    assert n_pad % tile == 0, "pad coords to a tile multiple"
+    WR = tile // 128
+    xs2, ys2, zs2 = (a.reshape(-1, 128) for a in (xs, ys, zs))
 
     return pl.pallas_call(
         partial(
@@ -248,10 +258,10 @@ def pairwise_count_runs(
         out_specs=pl.BlockSpec((GB, G), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_groups, G), jnp.uint32),
         scratch_shapes=[
-            pltpu.VMEM((2, tile), jnp.float32),
-            pltpu.VMEM((2, tile), jnp.float32),
-            pltpu.VMEM((2, tile), jnp.float32),
+            pltpu.VMEM((2, WR, 128), jnp.float32),
+            pltpu.VMEM((2, WR, 128), jnp.float32),
+            pltpu.VMEM((2, WR, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         interpret=interpret,
-    )(run_start, run_len, box_params[None, :], targets, r2, xs, ys, zs)
+    )(run_start, run_len, box_params[None, :], targets, r2, xs2, ys2, zs2)

@@ -20,7 +20,7 @@ from test_neighbors import _setup, brute_force_counts
 def test_v2_counts_match_oracle(periodic):
     n = 1500
     G = 32
-    W = 128
+    W = 1024
     x, y, z, h, keys, box = _setup(n, periodic, seed=55, hval=0.05)
 
     tree = compute_octree(keys, bucket_size=16, capacity=2048)
@@ -91,7 +91,7 @@ def test_v2_counts_match_oracle(periodic):
 
     counts = pairwise_count_runs(
         targets.astype(jnp.float32), r2.astype(jnp.float32), run_start, run_len,
-        xs_p, ys_p, zs_p, box_params, tile=W, interpret=True,
+        xs_p, ys_p, zs_p, box_params, tile=1024, interpret=True,
     )
     counts = np.asarray(counts).reshape(-1)[:n]
     expect, _, _ = brute_force_counts(x, y, z, h, np.asarray(box.limits), periodic)
