@@ -121,7 +121,7 @@ def _kernel(
     px, py_, pz_ = box_ref[0, 6], box_ref[0, 7], box_ref[0, 8]
 
     def group_body(g):
-        base_target = (pl.program_id(0) * GB + g) * G
+        base_target = (pl.program_id(0) * jnp.int32(GB) + jnp.int32(g)) * jnp.int32(G)
         T = tgt_ref[g]  # (G, 3)
         r2 = r2_ref[g]  # (G,)
         return _run_loop(g, base_target, T, r2)
@@ -134,12 +134,13 @@ def _kernel(
             length = run_len_ref[g, r]
             # align the window start down to a tile boundary; HBM memref
             # slices must be 1024-element aligned
-            astart = (start // W) * W
-            n_tiles = pl.cdiv(start + length - astart, jnp.int32(W))
+            w32 = jnp.int32(W)
+            astart = (start // w32) * w32
+            n_tiles = pl.cdiv(start + length - astart, w32)
             n_tiles = jnp.where(length > 0, n_tiles, 0)
 
             def get_dma(slot, t):
-                row = jnp.minimum((astart + t * W) // 128, (n_particles - W) // 128)
+                row = jnp.minimum((astart + t * w32) // jnp.int32(128), jnp.int32((n_particles - W) // 128))
                 return [
                     pltpu.make_async_copy(
                         src.at[pl.ds(row, WR), :], dst.at[slot],
@@ -159,15 +160,15 @@ def _kernel(
                 slot = jax.lax.rem(t, jnp.int32(2))
                 nxt = jax.lax.rem(t + jnp.int32(1), jnp.int32(2))
 
-                @pl.when(t + 1 < n_tiles)
+                @pl.when(t + jnp.int32(1) < n_tiles)
                 def _():
-                    for d in get_dma(nxt, t + 1):
+                    for d in get_dma(nxt, t + jnp.int32(1)):
                         d.start()
 
                 for d in get_dma(slot, t):
                     d.wait()
 
-                off = jnp.minimum(astart + t * W, n_particles - W)
+                off = jnp.minimum(astart + t * w32, jnp.int32(n_particles - W))
                 cx = xt[slot].reshape(1, W)
                 cy = yt[slot].reshape(1, W)
                 cz = zt[slot].reshape(1, W)
@@ -189,8 +190,8 @@ def _kernel(
                 lanes = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) + off
                 # mask to this tile's nominal range — clamped windows
                 # overlap, so the run mask alone would double count
-                lo = astart + t * W
-                in_tile = (lanes >= lo) & (lanes < lo + W)
+                lo = astart + t * w32
+                in_tile = (lanes >= lo) & (lanes < lo + w32)
                 in_run = (lanes >= start) & (lanes < start + length)
                 tgt_idx = base_target + jax.lax.broadcasted_iota(
                     jnp.int32, (G, 1), 0
