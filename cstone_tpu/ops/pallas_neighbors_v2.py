@@ -15,8 +15,13 @@ twice and none is missed.
 
 from __future__ import annotations
 
+import sys
 from functools import partial
 from typing import Tuple
+
+# the statically-unrolled group block plus nested loop tracing produces deep
+# Python call stacks during kernel tracing; the default limit is too low
+sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
 
 import jax
 import jax.numpy as jnp
@@ -137,7 +142,7 @@ def _kernel(
             w32 = jnp.int32(W)
             astart = (start // w32) * w32
             n_tiles = pl.cdiv(start + length - astart, w32)
-            n_tiles = jnp.where(length > 0, n_tiles, 0)
+            n_tiles = jnp.where(length > 0, n_tiles, jnp.int32(0))
 
             def get_dma(slot, t):
                 row = jnp.minimum((astart + t * w32) // jnp.int32(128), jnp.int32((n_particles - W) // 128))
