@@ -109,8 +109,8 @@ def _kernel(
     ys_hbm,
     zs_hbm,
     out_ref,  # (1, G) VMEM
-    xt, yt, zt,  # (2, W//128, 128) VMEM scratch tiles (double buffered)
-    sems,  # DMA semaphores (2, 3)
+    xt, yt, zt,  # (1, W//128, 128) VMEM scratch tiles
+    sems,  # DMA semaphores (3,)
     *,
     group_size: int,
     tile: int,
@@ -144,39 +144,34 @@ def _kernel(
             n_tiles = pl.cdiv(start + length - astart, w32)
             n_tiles = jnp.where(length > 0, n_tiles, jnp.int32(0))
 
-            def get_dma(slot, t):
-                row = jnp.minimum((astart + t * w32) // jnp.int32(128), jnp.int32((n_particles - W) // 128))
+            def get_dma(t):
+                row = jnp.minimum(
+                    (astart + t * w32) // jnp.int32(128),
+                    jnp.int32((n_particles - W) // 128),
+                )
                 return [
                     pltpu.make_async_copy(
-                        src.at[pl.ds(row, WR), :], dst.at[slot],
-                        sems.at[slot, jnp.int32(i)],
+                        src.at[pl.ds(row, WR), :], dst.at[0],
+                        sems.at[jnp.int32(i)],
                     )
                     for i, (src, dst) in enumerate(
                         ((xs_hbm, xt), (ys_hbm, yt), (zs_hbm, zt))
                     )
                 ]
 
-            @pl.when(n_tiles > 0)
-            def _():
-                for d in get_dma(jnp.int32(0), jnp.int32(0)):
-                    d.start()
-
             def tile_body(t, counts):
-                slot = jax.lax.rem(t, jnp.int32(2))
-                nxt = jax.lax.rem(t + jnp.int32(1), jnp.int32(2))
-
-                @pl.when(t + jnp.int32(1) < n_tiles)
-                def _():
-                    for d in get_dma(nxt, t + jnp.int32(1)):
-                        d.start()
-
-                for d in get_dma(slot, t):
+                # synchronous DMA per tile (double buffering currently
+                # trips Mosaic loop-carry legalization; revisit)
+                dmas = get_dma(t)
+                for d in dmas:
+                    d.start()
+                for d in dmas:
                     d.wait()
 
                 off = jnp.minimum(astart + t * w32, jnp.int32(n_particles - W))
-                cx = xt[slot].reshape(1, W)
-                cy = yt[slot].reshape(1, W)
-                cz = zt[slot].reshape(1, W)
+                cx = xt[0].reshape(1, W)
+                cy = yt[0].reshape(1, W)
+                cz = zt[0].reshape(1, W)
                 dx = T[:, 0:1] - cx
                 dy = T[:, 1:2] - cy
                 dz = T[:, 2:3] - cz
@@ -264,10 +259,10 @@ def pairwise_count_runs(
         out_specs=pl.BlockSpec((GB, G), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_groups, G), jnp.uint32),
         scratch_shapes=[
-            pltpu.VMEM((2, WR, 128), jnp.float32),
-            pltpu.VMEM((2, WR, 128), jnp.float32),
-            pltpu.VMEM((2, WR, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((1, WR, 128), jnp.float32),
+            pltpu.VMEM((1, WR, 128), jnp.float32),
+            pltpu.VMEM((1, WR, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
     )(run_start, run_len, box_params[None, :], targets, r2, xs2, ys2, zs2)
