@@ -151,7 +151,7 @@ def _kernel(
                 )
                 return [
                     pltpu.make_async_copy(
-                        src.at[pl.ds(row, WR), :], dst.at[0],
+                        src.at[pl.ds(row, WR), :], dst.at[jnp.int32(0)],
                         sems.at[jnp.int32(i)],
                     )
                     for i, (src, dst) in enumerate(
@@ -169,9 +169,10 @@ def _kernel(
                     d.wait()
 
                 off = jnp.minimum(astart + t * w32, jnp.int32(n_particles - W))
-                cx = xt[0].reshape(1, W)
-                cy = yt[0].reshape(1, W)
-                cz = zt[0].reshape(1, W)
+                zero = jnp.int32(0)
+                cx = xt[zero].reshape(1, W)
+                cy = yt[zero].reshape(1, W)
+                cz = zt[zero].reshape(1, W)
                 dx = T[:, 0:1] - cx
                 dy = T[:, 1:2] - cy
                 dz = T[:, 2:3] - cz
