@@ -100,15 +100,15 @@ def merge_leaf_runs(
 
 
 def _kernel(
-    run_start_ref,  # (1, R) SMEM
-    run_len_ref,  # (1, R) SMEM
+    run_start_ref,  # (GB, R) SMEM
+    run_len_ref,  # (GB, R) SMEM
     box_ref,  # (1, 9) SMEM: Lx Ly Lz iLx iLy iLz pbcx pbcy pbcz
-    tgt_ref,  # (1, G, 3) VMEM
-    r2_ref,  # (1, G) VMEM
+    tgt_ref,  # (GB, G, 3) VMEM
+    r2_ref,  # (GB, G) VMEM
     xs_hbm,  # (n_rows, 128) HBM — 1-D coords reshaped; rows tile to (8,128)
     ys_hbm,
     zs_hbm,
-    out_ref,  # (1, G) VMEM
+    out_ref,  # (GB, G) VMEM
     xt, yt, zt,  # (1, W//128, 128) VMEM scratch tiles
     sems,  # DMA semaphores (3,)
     *,
@@ -118,38 +118,38 @@ def _kernel(
     n_particles: int,
 ):
     G = group_size
-    W = tile  # elements per tile; W/128 rows, must be a multiple of 1024
+    W = tile  # elements per tile; must be a multiple of 1024 (HBM slice tiling)
     WR = W // 128  # rows per tile
     GB = tgt_ref.shape[0]
     Lx, Ly, Lz = box_ref[0, 0], box_ref[0, 1], box_ref[0, 2]
     iLx, iLy, iLz = box_ref[0, 3], box_ref[0, 4], box_ref[0, 5]
     px, py_, pz_ = box_ref[0, 6], box_ref[0, 7], box_ref[0, 8]
+    max_row = jnp.int32((n_particles - W) // 128)
+    max_off = jnp.int32(n_particles - W)
 
-    def group_body(g):
+    # static unroll over the group block; traced loops over groups trip
+    # lowering bugs (closed_call caching, loop-carry legalization)
+    for g in range(GB):
         base_target = (pl.program_id(0) * jnp.int32(GB) + jnp.int32(g)) * jnp.int32(G)
         T = tgt_ref[g]  # (G, 3)
         r2 = r2_ref[g]  # (G,)
-        return _run_loop(g, base_target, T, r2)
 
-    def _run_loop(g, base_target, T, r2):
-        # flatten (run, tile) iteration: runs sequential, tiles within runs
-        # double-buffered
-        def run_body(r, counts):
+        def run_body(r, counts, T=T, r2=r2, base_target=base_target, g=g):
             start = run_start_ref[g, r]
             length = run_len_ref[g, r]
+            w32 = jnp.int32(W)
             # align the window start down to a tile boundary; HBM memref
             # slices must be 1024-element aligned
-            w32 = jnp.int32(W)
             astart = (start // w32) * w32
             n_tiles = pl.cdiv(start + length - astart, w32)
             n_tiles = jnp.where(length > 0, n_tiles, jnp.int32(0))
 
-            def get_dma(t):
-                row = jnp.minimum(
-                    (astart + t * w32) // jnp.int32(128),
-                    jnp.int32((n_particles - W) // 128),
-                )
-                return [
+            def tile_body(t, counts):
+                row = (astart + t * w32) // jnp.int32(128)
+                row = jnp.minimum(row, max_row)
+                # synchronous per-tile DMA (double buffering currently trips
+                # Mosaic loop-carry legalization; revisit)
+                dmas = [
                     pltpu.make_async_copy(
                         src.at[pl.ds(row, WR), :], dst.at[jnp.int32(0)],
                         sems.at[jnp.int32(i)],
@@ -158,17 +158,11 @@ def _kernel(
                         ((xs_hbm, xt), (ys_hbm, yt), (zs_hbm, zt))
                     )
                 ]
-
-            def tile_body(t, counts):
-                # synchronous DMA per tile (double buffering currently
-                # trips Mosaic loop-carry legalization; revisit)
-                dmas = get_dma(t)
                 for d in dmas:
                     d.start()
                 for d in dmas:
                     d.wait()
 
-                off = jnp.minimum(astart + t * w32, jnp.int32(n_particles - W))
                 zero = jnp.int32(0)
                 cx = xt[zero].reshape(1, W)
                 cy = yt[zero].reshape(1, W)
@@ -179,15 +173,15 @@ def _kernel(
                 # minimum-image wrap (no-op for open boundaries: flags 0).
                 # floor(v+0.5) instead of rint: at the exact half-way point
                 # both images are equidistant, so the distance is identical.
-                def wrap(d, Lax, iLax, pax):
-                    k = jnp.floor(d * iLax + 0.5)
-                    return d - pax * Lax * k
-
-                dx = wrap(dx, Lx, iLx, px)
-                dy = wrap(dy, Ly, iLy, py_)
-                dz = wrap(dz, Lz, iLz, pz_)
+                kx = jnp.floor(dx * iLx + 0.5)
+                dx = dx - px * Lx * kx
+                ky = jnp.floor(dy * iLy + 0.5)
+                dy = dy - py_ * Ly * ky
+                kz = jnp.floor(dz * iLz + 0.5)
+                dz = dz - pz_ * Lz * kz
                 d2 = dx * dx + dy * dy + dz * dz  # (G, W)
 
+                off = jnp.minimum(astart + t * w32, max_off)
                 lanes = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) + off
                 # mask to this tile's nominal range — clamped windows
                 # overlap, so the run mask alone would double count
@@ -197,20 +191,18 @@ def _kernel(
                 tgt_idx = base_target + jax.lax.broadcasted_iota(
                     jnp.int32, (G, 1), 0
                 )
-                not_self = lanes != tgt_idx
-                within = (d2 < r2[:, None]) & in_run & in_tile & not_self
+                within = (
+                    (d2 < r2[:, None]) & in_run & in_tile & (lanes != tgt_idx)
+                )
                 return counts + jnp.sum(within, axis=1, dtype=jnp.int32)
 
-            counts = jax.lax.fori_loop(jnp.int32(0), n_tiles, tile_body, counts)
-            return counts
+            return jax.lax.fori_loop(jnp.int32(0), n_tiles, tile_body, counts)
 
         counts = jnp.zeros((G,), jnp.int32)
-        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(run_cap), run_body, counts)
-
-    # static unroll over the group block (a traced fori here trips a
-    # closed_call caching bug in interpret mode)
-    for g in range(GB):
-        out_ref[g, :] = group_body(g).astype(jnp.uint32)
+        counts = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(run_cap), run_body, counts
+        )
+        out_ref[g, :] = counts.astype(jnp.uint32)
 
 
 @partial(jax.jit, static_argnames=("tile", "group_block", "interpret"))
