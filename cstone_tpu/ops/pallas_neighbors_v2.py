@@ -124,9 +124,6 @@ def _kernel(
     Lx, Ly, Lz = box_ref[0, 0], box_ref[0, 1], box_ref[0, 2]
     iLx, iLy, iLz = box_ref[0, 3], box_ref[0, 4], box_ref[0, 5]
     px, py_, pz_ = box_ref[0, 6], box_ref[0, 7], box_ref[0, 8]
-    max_row = jnp.int32((n_particles - W) // 128)
-    max_off = jnp.int32(n_particles - W)
-
     # static unroll over the group block; traced loops over groups trip
     # lowering bugs (closed_call caching, loop-carry legalization)
     for g in range(GB):
@@ -146,7 +143,7 @@ def _kernel(
 
             def tile_body(t, counts):
                 row = (astart + t * w32) // jnp.int32(128)
-                row = jnp.minimum(row, max_row)
+                row = jnp.minimum(row, jnp.int32((n_particles - W) // 128))
                 # synchronous per-tile DMA (double buffering currently trips
                 # Mosaic loop-carry legalization; revisit)
                 dmas = [
@@ -181,7 +178,7 @@ def _kernel(
                 dz = dz - pz_ * Lz * kz
                 d2 = dx * dx + dy * dy + dz * dz  # (G, W)
 
-                off = jnp.minimum(astart + t * w32, max_off)
+                off = jnp.minimum(astart + t * w32, jnp.int32(n_particles - W))
                 lanes = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) + off
                 # mask to this tile's nominal range — clamped windows
                 # overlap, so the run mask alone would double count
