@@ -114,6 +114,69 @@ def main():
         leaf_idx = jnp.where(leaves_sorted >= 0, leaf_idx, 0)
         return merge_leaf_runs(leaf_idx, n_cand, layout, run_cap)
 
+    pairwise_mode = os.environ.get("BENCH_PAIRWISE", "v2")
+    chunk = int(os.environ.get("BENCH_CHUNK", 64))
+
+    @jax.jit
+    def s_flatten_xla(internal_to_leaf, layout, leaves_sorted, n_cand):
+        # candidate index matrix for the XLA fallback path
+        leaf_idx = internal_to_leaf[jnp.maximum(leaves_sorted, 0)]
+        leaf_idx = jnp.where(leaves_sorted >= 0, leaf_idx, 0)
+        k = jnp.arange(cand_leaf_cap, dtype=jnp.int32)
+        k_valid = k[None, :] < jnp.minimum(n_cand, cand_leaf_cap)[:, None]
+        starts = layout[leaf_idx]
+        lens = jnp.where(k_valid, layout[leaf_idx + 1] - starts, 0)
+        inc = jnp.cumsum(lens, axis=1)
+        total = inc[:, -1]
+        exc_k = inc - lens
+        row_q = jnp.arange(n_groups, dtype=jnp.int32)[:, None]
+        seg0 = jnp.zeros((n_groups, cand_cap), dtype=jnp.int32)
+        ok = k_valid & (lens > 0) & (exc_k < cand_cap)
+        seg0 = seg0.at[
+            jnp.where(ok, row_q, n_groups), jnp.where(ok, exc_k, 0)
+        ].max(jnp.broadcast_to(k[None, :], exc_k.shape), mode="drop")
+        seg = jax.lax.cummax(seg0, axis=1)
+        j = jnp.arange(cand_cap, dtype=jnp.int32)
+        cand_idx = starts[row_q, seg] + (j[None, :] - exc_k[row_q, seg])
+        cand_valid = j[None, :] < jnp.minimum(total, cand_cap)[:, None]
+        return jnp.where(cand_valid, cand_idx, 0), cand_valid, total
+
+    @jax.jit
+    def s_pairwise_xla(xs, ys, zs, gx, gy, gz, gh, gvalid, cand_idx, cand_valid):
+        n_chunks = n_groups // chunk
+        L = box.lengths.astype(jnp.float32)
+        iL = (1.0 / box.lengths).astype(jnp.float32)
+        pm = jnp.asarray(box.periodic_mask, jnp.float32)
+        lane = jnp.arange(group_size, dtype=jnp.int32)
+
+        def do(c):
+            sidx = c * chunk
+            ci = jax.lax.dynamic_slice_in_dim(cand_idx, sidx, chunk)
+            cv = jax.lax.dynamic_slice_in_dim(cand_valid, sidx, chunk)
+            txs = jax.lax.dynamic_slice_in_dim(gx, sidx, chunk)
+            tys = jax.lax.dynamic_slice_in_dim(gy, sidx, chunk)
+            tzs = jax.lax.dynamic_slice_in_dim(gz, sidx, chunk)
+            ths = jax.lax.dynamic_slice_in_dim(gh, sidx, chunk)
+            tv = jax.lax.dynamic_slice_in_dim(gvalid, sidx, chunk)
+            cx, cy, cz = xs[ci], ys[ci], zs[ci]
+
+            def ax(t, cc, d):
+                dd = t[:, :, None] - cc[:, None, :]
+                return dd - pm[d] * L[d] * jnp.round(dd * iL[d])
+
+            d2 = ax(txs, cx, 0) ** 2 + ax(tys, cy, 1) ** 2 + ax(tzs, cz, 2) ** 2
+            r2 = (2.0 * ths) ** 2
+            tgt = (jnp.arange(chunk, dtype=jnp.int32)[:, None] + sidx) * group_size + lane
+            w = (
+                (d2 < r2[:, :, None])
+                & (ci[:, None, :] != tgt[:, :, None])
+                & cv[:, None, :]
+                & tv[:, :, None]
+            )
+            return jnp.sum(w, -1, dtype=jnp.uint32)
+
+        return jax.lax.map(do, jnp.arange(n_chunks, dtype=jnp.int32)).reshape(-1)
+
     @jax.jit
     def s_pairwise(xs, ys, zs, gx, gy, gz, gh, gvalid, run_start, run_len):
         pad = n_pad_tiles - n
@@ -144,14 +207,25 @@ def main():
         leaves_sorted, n_cand = s_traverse(
             view.centers, view.sizes, linked.child_offsets, gc, gs, gr
         )
-        run_start, run_len, n_runs, run_ovf = s_runs(
-            linked.internal_to_leaf, layout, leaves_sorted, n_cand
-        )
-        counts = s_pairwise(
-            xs, ys, zs, gx, gy, gz, gh, gvalid, run_start, run_len
-        )
+        if pairwise_mode == "v2":
+            run_start, run_len, n_runs, run_ovf = s_runs(
+                linked.internal_to_leaf, layout, leaves_sorted, n_cand
+            )
+            counts = s_pairwise(
+                xs, ys, zs, gx, gy, gz, gh, gvalid, run_start, run_len
+            )
+            overflow = run_ovf.astype(jnp.int32)
+        else:
+            cand_idx, cand_valid, total = s_flatten_xla(
+                linked.internal_to_leaf, layout, leaves_sorted, n_cand
+            )
+            counts = s_pairwise_xla(
+                xs, ys, zs, gx, gy, gz, gh, gvalid, cand_idx, cand_valid
+            )
+            overflow = jnp.max(
+                jnp.where(total > cand_cap, total, 0)
+            ).astype(jnp.int32)
         counts = counts.reshape(-1)
-        overflow = run_ovf.astype(jnp.int32)
         return counts, tree.n_nodes, overflow, jnp.max(n_cand)
 
     t0 = time.time()

@@ -14,7 +14,8 @@ compares candidate indices against target indices computed from the grid
 position.
 """
 
-from __future__ import annotations
+# NOTE: no `from __future__ import annotations` here — postponed (string)
+# annotations break Mosaic lowering of the kernel (func.return i32/i64).
 
 from functools import partial
 

@@ -13,7 +13,8 @@ adjacent); tiles are masked to the run length, so no particle is tested
 twice and none is missed.
 """
 
-from __future__ import annotations
+# NOTE: no `from __future__ import annotations` here — postponed (string)
+# annotations break Mosaic lowering of the kernel (func.return i32/i64).
 
 import sys
 from functools import partial
@@ -202,7 +203,6 @@ def _kernel(
         out_ref[g, :] = counts.astype(jnp.uint32)
 
 
-@partial(jax.jit, static_argnames=("tile", "group_block", "interpret"))
 def pairwise_count_runs(
     targets: jax.Array,  # (n_groups, G, 3)
     r2: jax.Array,  # (n_groups, G)
@@ -231,6 +231,31 @@ def pairwise_count_runs(
     WR = tile // 128
     xs2, ys2, zs2 = (a.reshape(-1, 128) for a in (xs, ys, zs))
 
+    # Mosaic mis-lowers loop bounds to i64 when traced in x64 mode
+    # (func.return i32/i64 legalization failure); every dtype here is
+    # explicit, so tracing with x64 disabled is semantics-preserving.
+    prev_x64 = jax.config.jax_enable_x64
+    try:
+        if prev_x64:
+            jax.config.update("jax_enable_x64", False)
+        return _call(
+            targets, r2, run_start, run_len, xs2, ys2, zs2, box_params,
+            tile=tile, group_block=group_block, interpret=interpret,
+        )
+    finally:
+        if prev_x64:
+            jax.config.update("jax_enable_x64", True)
+
+
+@partial(jax.jit, static_argnames=("tile", "group_block", "interpret"))
+def _call(targets, r2, run_start, run_len, xs2, ys2, zs2, box_params,
+          tile, group_block, interpret):
+    n_groups, G, _ = targets.shape
+    R = run_start.shape[1]
+    n_pad = xs2.shape[0] * 128
+    GB = group_block
+    WR = tile // 128
+
     return pl.pallas_call(
         partial(
             _kernel, group_size=G, tile=tile, run_cap=R, n_particles=n_pad
@@ -255,4 +280,4 @@ def pairwise_count_runs(
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
-    )(run_start, run_len, box_params[None, :], targets, r2, xs2, ys2, zs2)
+    )(run_start, run_len, jnp.reshape(box_params, (1, 9)), targets, r2, xs2, ys2, zs2)
