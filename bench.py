@@ -48,8 +48,8 @@ def main():
     bucket = int(os.environ.get("BENCH_BUCKET", 64))
     h_val = float(os.environ.get("BENCH_H", 0.012))
     reps = int(os.environ.get("BENCH_REPS", 5))
-    group_size = int(os.environ.get("BENCH_GROUP", 128))
-    cand_leaf_cap = int(os.environ.get("BENCH_LEAF_CAP", 224))
+    group_size = int(os.environ.get("BENCH_GROUP", 256))
+    cand_leaf_cap = int(os.environ.get("BENCH_LEAF_CAP", 320))
     cand_cap = int(os.environ.get("BENCH_CAND_CAP", 3584))
     key_dtype = jnp.uint64
 
