@@ -235,6 +235,65 @@ def main():
     assert int(np.asarray(overflow)) == 0, f"cap exceeded: {int(np.asarray(overflow))}"
     assert int(np.asarray(leaf_ovf)) <= cand_leaf_cap
 
+    if os.environ.get("BENCH_STAGES"):
+        # per-stage timing: force each stage's output with a 1-element readback
+        def force(o):
+            return np.asarray(jax.tree_util.tree_leaves(o)[0]).ravel()[:1]
+
+        # prefix timing: run the pipeline truncated after stage k with one
+        # readback; consecutive differences give per-stage cost with the
+        # tunnel readback/dispatch latency cancelling out
+        names = [
+            "encode", "sort", "tree", "linked", "layout", "groups",
+            "traverse", "runs", "pairwise",
+        ]
+
+        def prefix(k):
+            keys0 = s_encode(x, y, z)
+            o = keys0
+            if k >= 1:
+                keys, xs, ys, zs, hs = o = s_sort(keys0, x, y, z, hj)
+            if k >= 2:
+                tree = o = s_tree(keys)
+            if k >= 3:
+                linked = o = s_linked(tree)
+            if k >= 4:
+                layout = o = s_layout(tree)
+            if k >= 5:
+                view = make_ns_view(linked, layout, box)
+                gx, gy, gz, gh, gvalid, gc, gs, gr = o = s_groups(xs, ys, zs, hs)
+            if k >= 6:
+                leaves_sorted, n_cand = o = s_traverse(
+                    view.centers, view.sizes, linked.child_offsets, gc, gs, gr
+                )
+            if k >= 7:
+                run_start, run_len, n_runs, run_ovf = o = s_runs(
+                    linked.internal_to_leaf, layout, leaves_sorted, n_cand
+                )
+            if k >= 8:
+                o = s_pairwise(
+                    xs, ys, zs, gx, gy, gz, gh, gvalid, run_start, run_len
+                )
+            return o
+
+        cum = []
+        for k in range(len(names)):
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                force(prefix(k))
+                ts.append(time.time() - t0)
+            cum.append(min(ts))
+        stage_times = {
+            nm: cum[i] - (cum[i - 1] if i else 0.0) for i, nm in enumerate(names)
+        }
+        print(
+            "stages(ms, cumulative-diff): "
+            + " ".join(f"{k}={v*1e3:.1f}" for k, v in stage_times.items())
+            + f" total={cum[-1]*1e3:.1f}",
+            file=sys.stderr,
+        )
+
     times = []
     for _ in range(reps):
         t0 = time.time()

@@ -66,7 +66,7 @@ def sph_density_step(
 
     view = domain.ns_view(res, box)
     cap = res.x.shape[0]
-    counts, nbs, overflow, leaf_ovf = _find_neighbors_impl(
+    counts, nbs, _stats = _find_neighbors_impl(
         res.x, res.y, res.z, res.h, view, box,
         ng_max=ng_max, group_size=group_size, cand_leaf_cap=cand_leaf_cap,
         cand_cap=cand_cap, chunk=chunk, with_indices=True, n_targets=cap,

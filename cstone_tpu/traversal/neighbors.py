@@ -30,9 +30,24 @@ from ..sfc.encode import HILBERT
 from ..tree.octree import LinkedOctree
 from .boxoverlap import min_distance_boxes
 from .geometry import node_geometry
-from .traversal import batched_collect_leaves
+from .traversal import batched_collect_leaves_bfs
 
-__all__ = ["OctreeNsView", "make_ns_view", "find_neighbors"]
+__all__ = ["OctreeNsView", "NbStats", "make_ns_view", "find_neighbors"]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class NbStats:
+    """Neighbor-search diagnostics, the analog of the reference's NcStats
+    (reference: traversal/find_neighbors.cuh:346-357). All values are maxima
+    over target groups; overflow is signalled by a value exceeding its cap.
+    """
+
+    leaf_max: jax.Array  # candidate leaves per group (cap: cand_leaf_cap)
+    frontier_max: jax.Array  # BFS frontier width (cap: frontier_cap)
+    cand_max: jax.Array  # flattened candidates per group (cap: cand_cap)
+    run_max: jax.Array  # merged particle runs per group (cap: run_cap)
+    pbc_bad: jax.Array  # bool: v1 single-wrap PBC validity violated
 
 
 @jax.tree_util.register_dataclass
@@ -83,6 +98,10 @@ def _group_reduce(arr: jax.Array, n: int, group_size: int, n_groups: int, fill, 
         "with_indices",
         "n_targets",
         "use_pallas",
+        "frontier_cap",
+        "run_cap",
+        "tile",
+        "interpret",
     ),
 )
 def _find_neighbors_impl(
@@ -99,7 +118,11 @@ def _find_neighbors_impl(
     chunk: int,
     with_indices: bool,
     n_targets: int,
-    use_pallas: bool = False,
+    use_pallas=False,  # False -> XLA chunks; True/"v1" -> gather kernel; "v2" -> run streaming
+    frontier_cap: int = 64,
+    run_cap: int = 48,
+    tile: int = 1024,
+    interpret: bool = False,
 ):
     n = n_targets
     fdt = x.dtype
@@ -139,12 +162,76 @@ def _find_neighbors_impl(
         d2 = jnp.sum(d * d, axis=-1)
         return d2 < (g_radius[q_ids] * g_radius[q_ids])
 
-    leaves_sorted, n_cand_leaves = batched_collect_leaves(
-        view.tree.child_offsets, criterion, n_groups, cand_leaf_cap
+    leaves_sorted, n_cand_leaves, fmax = batched_collect_leaves_bfs(
+        view.tree.child_offsets, criterion, n_groups, cand_leaf_cap, frontier_cap
     )
     # convert sorted node index -> cornerstone leaf index for layout lookup
     leaf_idx = view.tree.internal_to_leaf[jnp.maximum(leaves_sorted, 0)]
     leaf_idx = jnp.where(leaves_sorted >= 0, leaf_idx, 0)
+
+    leaf_max = jnp.max(n_cand_leaves).astype(jnp.int32)
+    frontier_max = jnp.max(fmax).astype(jnp.int32)
+
+    # ---- v2: merged contiguous runs streamed by the Pallas kernel ----------
+    if use_pallas == "v2" and not with_indices:
+        from ..ops.pallas_neighbors_v2 import merge_leaf_runs, pairwise_count_runs
+
+        run_start, run_len, n_runs, _ = merge_leaf_runs(
+            leaf_idx, n_cand_leaves, view.layout, run_cap
+        )
+        gb = 8
+        pad_groups = -(-n_groups // gb) * gb
+
+        def padg(a, fill=0):
+            p = pad_groups - a.shape[0]
+            if p:
+                a = jnp.concatenate(
+                    [a, jnp.full((p,) + a.shape[1:], fill, a.dtype)]
+                )
+            return a
+
+        n_pad = max(tile, -(-x.shape[0] // tile) * tile)
+        big = fdt.type(np.finfo(fdt).max) / fdt.type(2.0)
+
+        def padp(a):
+            p = n_pad - a.shape[0]
+            return jnp.concatenate([a, jnp.full((p,), big, a.dtype)]) if p else a
+
+        targets = padg(jnp.stack([gx, gy, gz], axis=-1))
+        r2 = padg(jnp.where(gvalid, (fdt.type(2.0) * gh) ** 2, fdt.type(-1.0)), -1.0)
+        box_params = jnp.concatenate(
+            [
+                box.lengths.astype(jnp.float32),
+                (1.0 / box.lengths).astype(jnp.float32),
+                jnp.asarray(box.periodic_mask, jnp.float32),
+            ]
+        )
+        counts = pairwise_count_runs(
+            targets.astype(jnp.float32),
+            r2.astype(jnp.float32),
+            padg(run_start),
+            padg(run_len),
+            padp(x), padp(y), padp(z),
+            box_params,
+            tile=tile,
+            group_block=gb,
+            interpret=interpret,
+        )
+        counts = counts.reshape(-1)[: n_groups * group_size]
+        if counts.shape[0] < x.shape[0]:
+            counts = jnp.concatenate(
+                [counts, jnp.zeros((x.shape[0] - counts.shape[0],), counts.dtype)]
+            )
+        else:
+            counts = counts[: x.shape[0]]
+        stats = NbStats(
+            leaf_max=leaf_max,
+            frontier_max=frontier_max,
+            cand_max=jnp.int32(0),
+            run_max=jnp.max(n_runs).astype(jnp.int32),
+            pbc_bad=jnp.bool_(False),
+        )
+        return counts, None, stats
 
     # ---- flatten candidate particle ranges per group ----------------------
     # segment fill via scatter + cumulative max instead of per-slot binary
@@ -174,13 +261,19 @@ def _find_neighbors_impl(
 
     # ---- all-pairs distance tests -------------------------------------------
     if use_pallas and not with_indices:
-        counts, overflow = _pairwise_pallas(
+        counts, cand_ovf, pbc_bad = _pairwise_pallas(
             x, y, z, gx, gy, gz, gh, gvalid, g_center, g_size,
             cand_idx, cand_valid, total_cand, box, n_groups, group_size,
-            cand_cap, any_pbc,
+            cand_cap, any_pbc, interpret,
         )
-        leaf_overflow = jnp.max(n_cand_leaves)
-        return counts[: x.shape[0]], None, overflow, leaf_overflow
+        stats = NbStats(
+            leaf_max=leaf_max,
+            frontier_max=frontier_max,
+            cand_max=cand_ovf.astype(jnp.int32),
+            run_max=jnp.int32(0),
+            pbc_bad=pbc_bad,
+        )
+        return counts[: x.shape[0]], None, stats
 
     n_chunks = -(-n_groups // chunk)
     pad_groups = n_chunks * chunk
@@ -252,18 +345,23 @@ def _find_neighbors_impl(
 
     counts, nbs = jax.lax.map(do_chunk, jnp.arange(n_chunks, dtype=jnp.int32))
     counts = counts.reshape(pad_groups * group_size)[: x.shape[0]]
-    overflow = jnp.max(jnp.where(total_cand > cand_cap, total_cand, 0))
-    leaf_overflow = jnp.max(n_cand_leaves)
+    stats = NbStats(
+        leaf_max=leaf_max,
+        frontier_max=frontier_max,
+        cand_max=jnp.max(total_cand).astype(jnp.int32),
+        run_max=jnp.int32(0),
+        pbc_bad=jnp.bool_(False),
+    )
     if with_indices:
         nbs = nbs.reshape(pad_groups * group_size, ng_max)[: x.shape[0]]
-        return counts, nbs, overflow, leaf_overflow
-    return counts, None, overflow, leaf_overflow
+        return counts, nbs, stats
+    return counts, None, stats
 
 
 def _pairwise_pallas(
     x, y, z, gx, gy, gz, gh, gvalid, g_center, g_size,
     cand_idx, cand_valid, total_cand, box: Box, n_groups: int,
-    group_size: int, cand_cap: int, any_pbc: bool,
+    group_size: int, cand_cap: int, any_pbc: bool, interpret: bool,
 ):
     """Pallas count path: pre-gather candidates, poison invalid rows, wrap
     periodic images once per group, then run the VMEM-resident kernel.
@@ -317,9 +415,8 @@ def _pairwise_pallas(
     r2 = padg(r2, -1.0)
     cidx = padg(jnp.where(cand_valid, cand_idx, jnp.int32(-1)), -1)
 
-    on_tpu = jax.default_backend() not in ("cpu",)
     counts = pairwise_count(
-        targets, r2, cand, cidx, group_block=gb, interpret=not on_tpu
+        targets, r2, cand, cidx, group_block=gb, interpret=interpret
     )
     counts = counts.reshape(-1)[: n_groups * group_size]
     if counts.shape[0] < x.shape[0]:
@@ -327,9 +424,43 @@ def _pairwise_pallas(
             [counts, jnp.zeros((x.shape[0] - counts.shape[0],), counts.dtype)]
         )
 
-    overflow = jnp.max(jnp.where(total_cand > cand_cap, total_cand, 0))
-    overflow = jnp.maximum(overflow, jnp.where(bad, jnp.int32(1 << 30), 0))
-    return counts, overflow
+    return counts, jnp.max(total_cand), bad
+
+
+def check_nb_stats(
+    stats: NbStats,
+    cand_leaf_cap: int,
+    frontier_cap: int,
+    cand_cap: int,
+    run_cap: int,
+) -> None:
+    """Raise if any capacity in the neighbor pass overflowed (results would
+    be silently incomplete otherwise)."""
+    if int(stats.leaf_max) > cand_leaf_cap:
+        raise RuntimeError(
+            f"candidate leaf capacity {cand_leaf_cap} exceeded "
+            f"(needed {int(stats.leaf_max)}); raise cand_leaf_cap"
+        )
+    if int(stats.frontier_max) > frontier_cap:
+        raise RuntimeError(
+            f"traversal frontier capacity {frontier_cap} exceeded "
+            f"(needed {int(stats.frontier_max)}); raise frontier_cap"
+        )
+    if int(stats.cand_max) > cand_cap:
+        raise RuntimeError(
+            f"candidate capacity {cand_cap} exceeded "
+            f"(needed {int(stats.cand_max)}); raise cand_cap"
+        )
+    if int(stats.run_max) > run_cap:
+        raise RuntimeError(
+            f"run capacity {run_cap} exceeded (needed {int(stats.run_max)}); "
+            "raise run_cap"
+        )
+    if bool(stats.pbc_bad):
+        raise RuntimeError(
+            "periodic wrap validity violated: 2h + group half-extent >= L/2; "
+            "reduce group_size or use the v2/XLA path"
+        )
 
 
 def find_neighbors(
@@ -346,26 +477,30 @@ def find_neighbors(
     chunk: int = 32,
     with_indices: bool = False,
     n_targets: Optional[int] = None,
+    frontier_cap: int = 64,
+    run_cap: int = 48,
+    tile: int = 1024,
+    use_pallas=None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Neighbor counts (and optionally indices) for SFC-ordered particles.
 
     Semantics per findneighbors.hpp:95-165; counts may exceed ng_max,
     indices are capped at ng_max and padded with -1.
+
+    The count-only path runs the run-streaming Pallas kernel by default
+    (interpreted off-TPU); pass use_pallas=False for the pure-XLA path or
+    "v1" for the gather kernel. Index emission always uses the XLA path.
     """
     n = int(x.shape[0]) if n_targets is None else int(n_targets)
-    counts, nbs, overflow, leaf_overflow = _find_neighbors_impl(
+    if use_pallas is None:
+        use_pallas = False if with_indices else "v2"
+    interpret = jax.default_backend() == "cpu"
+    counts, nbs, stats = _find_neighbors_impl(
         x, y, z, h, view, box,
         int(ng_max), int(group_size), int(cand_leaf_cap), int(cand_cap), int(chunk),
-        bool(with_indices), n,
+        bool(with_indices), n, use_pallas=use_pallas,
+        frontier_cap=int(frontier_cap), run_cap=int(run_cap), tile=int(tile),
+        interpret=interpret,
     )
-    if int(overflow) > 0:
-        raise RuntimeError(
-            f"candidate capacity {cand_cap} exceeded (needed {int(overflow)}); "
-            "raise cand_cap"
-        )
-    if int(leaf_overflow) > cand_leaf_cap:
-        raise RuntimeError(
-            f"candidate leaf capacity {cand_leaf_cap} exceeded "
-            f"(needed {int(leaf_overflow)}); raise cand_leaf_cap"
-        )
+    check_nb_stats(stats, cand_leaf_cap, frontier_cap, cand_cap, run_cap)
     return counts, nbs

@@ -16,7 +16,12 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["batched_collect_leaves", "batched_mark", "STACK_DEPTH"]
+__all__ = [
+    "batched_collect_leaves",
+    "batched_collect_leaves_bfs",
+    "batched_mark",
+    "STACK_DEPTH",
+]
 
 STACK_DEPTH = 128  # same bound as the reference (traversal.hpp:81)
 
@@ -112,6 +117,93 @@ def batched_collect_leaves(
 
     _, _, out, out_n = jax.lax.while_loop(cond, body, (stack, stack_pos, out, out_n))
     return out, out_n
+
+
+def batched_collect_leaves_bfs(
+    child_offsets: jax.Array,
+    criterion: Callable[[jax.Array, jax.Array], jax.Array],
+    n_queries: int,
+    out_cap: int,
+    frontier_cap: int = 64,
+    active_mask: jax.Array | None = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Level-synchronous variant of batched_collect_leaves.
+
+    Instead of popping ONE node per query per iteration (max-total-pops
+    iterations of mostly-masked work), each iteration expands every query's
+    whole frontier of passed internal nodes at once — the loop runs
+    tree-depth times (~7), each a dense (n_queries, frontier_cap*8)
+    criterion evaluation. Same endpoint set as the DFS walk (reference
+    traversal/traversal.hpp:69-110); emission order differs (level-major),
+    so callers that need SFC order must sort.
+
+    Returns (leaves (n_queries, out_cap) int32 padded -1,
+             counts (n_queries,) int32 — may exceed out_cap on overflow,
+             frontier_counts (n_queries,) int32 — max frontier size seen;
+             values > frontier_cap mean nodes were DROPPED: results are
+             incomplete and the caller must retry with a larger cap).
+    """
+    cap_nodes = child_offsets.shape[0]
+    F = frontier_cap
+    q_ids = jnp.arange(n_queries, dtype=jnp.int32)
+
+    root_pass = criterion(q_ids, jnp.zeros((n_queries,), jnp.int32))
+    if active_mask is not None:
+        root_pass = root_pass & active_mask
+    root_is_leaf = child_offsets[0] == 0
+
+    out = jnp.full((n_queries, out_cap), -1, dtype=jnp.int32)
+    out = out.at[:, 0].set(jnp.where(root_pass & root_is_leaf, 0, -1))
+    out_n = jnp.where(root_pass & root_is_leaf, 1, 0).astype(jnp.int32)
+
+    frontier = jnp.zeros((n_queries, F), dtype=jnp.int32)
+    fcnt = jnp.where(root_pass & (~root_is_leaf), 1, 0).astype(jnp.int32)
+    fmax = fcnt
+
+    k8 = jnp.arange(8, dtype=jnp.int32)
+    slot_ids = jnp.arange(F * 8, dtype=jnp.int32)
+    rows = jnp.broadcast_to(q_ids[:, None], (n_queries, F * 8))
+
+    def cond(state):
+        _, fcnt, _, _, _ = state
+        return jnp.any(fcnt > 0)
+
+    def body(state):
+        frontier, fcnt, out, out_n, fmax = state
+        slot_valid = slot_ids[None, :] < (fcnt[:, None] * 8)
+        child0 = child_offsets[frontier]  # (nq, F)
+        children = (child0[:, :, None] + k8[None, None, :]).reshape(n_queries, F * 8)
+        cc = jnp.clip(children, 0, cap_nodes - 1)
+
+        passed = criterion(rows.reshape(-1), cc.reshape(-1)).reshape(n_queries, F * 8)
+        passed = passed & slot_valid
+        is_leaf = child_offsets[cc] == 0
+        emit = passed & is_leaf
+        push = passed & (~is_leaf)
+
+        emit_rank = jnp.cumsum(emit, axis=1) - emit.astype(jnp.int32)
+        slot = out_n[:, None] + emit_rank
+        ok = emit & (slot < out_cap)
+        out = out.at[
+            jnp.where(ok, rows, n_queries), jnp.where(ok, slot, 0)
+        ].set(cc, mode="drop")
+        out_n = out_n + jnp.sum(emit, axis=1, dtype=jnp.int32)
+
+        push_rank = jnp.cumsum(push, axis=1) - push.astype(jnp.int32)
+        nf = jnp.zeros((n_queries, F), dtype=jnp.int32)
+        okp = push & (push_rank < F)
+        nf = nf.at[
+            jnp.where(okp, rows, n_queries), jnp.where(okp, push_rank, 0)
+        ].set(cc, mode="drop")
+        nfcnt = jnp.sum(push, axis=1, dtype=jnp.int32)
+        fmax = jnp.maximum(fmax, nfcnt)
+        nfcnt = jnp.minimum(nfcnt, F)
+        return nf, nfcnt, out, out_n, fmax
+
+    _, _, out, out_n, fmax = jax.lax.while_loop(
+        cond, body, (frontier, fcnt, out, out_n, fmax)
+    )
+    return out, out_n, fmax
 
 
 def batched_mark(

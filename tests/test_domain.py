@@ -37,12 +37,15 @@ def _find_counts(result, box, n_cap):
     from cstone_tpu.traversal import make_ns_view
 
     view = make_ns_view(result.tree, result.layout, box)
-    counts, _, overflow, leaf_ovf = _find_neighbors_impl(
+    counts, _, stats = _find_neighbors_impl(
         result.x, result.y, result.z, result.h, view, box,
         ng_max=1, group_size=16, cand_leaf_cap=512, cand_cap=8192, chunk=8,
         with_indices=False, n_targets=n_cap,
     )
-    return counts, overflow, leaf_ovf
+    overflow = (stats.cand_max > 8192) | (stats.leaf_max > 512) | (
+        stats.frontier_max > 64
+    )
+    return counts, overflow.astype(jnp.int32), stats.leaf_max
 
 
 @pytest.mark.parametrize("periodic", [False, True])
