@@ -37,8 +37,9 @@ from cstone_tpu.domain.layout import leaf_layout_from_counts
 from cstone_tpu.sfc import PERIODIC, compute_sfc_keys, make_box
 from cstone_tpu.traversal.boxoverlap import min_distance_boxes
 from cstone_tpu.ops.pallas_neighbors_v2 import merge_leaf_runs, pairwise_count_runs
+from cstone_tpu.traversal.cover import build_cell_table, group_cover_runs
 from cstone_tpu.traversal.neighbors import OctreeNsView, make_ns_view
-from cstone_tpu.traversal.traversal import batched_collect_leaves
+from cstone_tpu.traversal.traversal import batched_collect_leaves, batched_collect_leaves_bfs
 from cstone_tpu.tree.csarray import MAX_UINT32, _compute_octree_jit
 from cstone_tpu.tree.octree import build_linked_octree
 
@@ -97,16 +98,35 @@ def main():
         gr = 2.0 * jnp.max(jnp.where(gvalid, gh, 0.0), 1)
         return gx, gy, gz, gh, gvalid, gc, gs, gr
 
+    trav_mode = os.environ.get("BENCH_TRAV", "cover")
+    frontier_cap = int(os.environ.get("BENCH_FRONTIER_CAP", 256))
+    table_level = int(os.environ.get("BENCH_TABLE_LEVEL", 6))
+    cells_per_dim = int(os.environ.get("BENCH_CELLS_PER_DIM", 8))
+
     def s_traverse(view_centers, view_sizes, child_offsets, gc, gs, gr):
         def crit(q, nid):
             d = min_distance_boxes(gc[q], gs[q], view_centers[nid], view_sizes[nid], box)
             return jnp.sum(d * d, -1) < gr[q] * gr[q]
+        if trav_mode == "bfs":
+            leaves, n_cand, fmax = batched_collect_leaves_bfs(
+                child_offsets, crit, n_groups, cand_leaf_cap, frontier_cap
+            )
+            return leaves, n_cand
         return batched_collect_leaves(child_offsets, crit, n_groups, cand_leaf_cap)
     s_traverse = jax.jit(s_traverse)
 
     run_cap = int(os.environ.get("BENCH_RUN_CAP", 48))
     tile = int(os.environ.get("BENCH_TILE", 1024))
     n_pad_tiles = max(tile, (n + tile - 1) // tile * tile)
+
+    s_table = jax.jit(lambda k: build_cell_table(k, table_level))
+
+    @jax.jit
+    def s_cover(table, gc, gs, gr):
+        return group_cover_runs(
+            gc - gs, gc + gs, gr, table, table_level, box, key_dtype,
+            cells_per_dim=cells_per_dim, run_cap=run_cap,
+        )
 
     @jax.jit
     def s_runs(internal_to_leaf, layout, leaves_sorted, n_cand):
@@ -200,10 +220,18 @@ def main():
         keys = s_encode(x, y, z)
         keys, xs, ys, zs, hs = s_sort(keys, x, y, z, hj)
         tree = s_tree(keys)
+        gx, gy, gz, gh, gvalid, gc, gs, gr = s_groups(xs, ys, zs, hs)
+        if trav_mode == "cover":
+            table = s_table(keys)
+            run_start, run_len, n_runs, run_ovf = s_cover(table, gc, gs, gr)
+            counts = s_pairwise(
+                xs, ys, zs, gx, gy, gz, gh, gvalid, run_start, run_len
+            )
+            counts = counts.reshape(-1)
+            return counts, tree.n_nodes, run_ovf.astype(jnp.int32), jnp.max(n_runs)
         linked = s_linked(tree)
         layout = s_layout(tree)
         view = make_ns_view(linked, layout, box)
-        gx, gy, gz, gh, gvalid, gc, gs, gr = s_groups(xs, ys, zs, hs)
         leaves_sorted, n_cand = s_traverse(
             view.centers, view.sizes, linked.child_offsets, gc, gs, gr
         )
@@ -229,68 +257,84 @@ def main():
         return counts, tree.n_nodes, overflow, jnp.max(n_cand)
 
     t0 = time.time()
-    counts, n_nodes, overflow, leaf_ovf = pipeline()
+    counts, n_nodes, overflow, aux_max = pipeline()
     counts_h = np.asarray(counts)
     compile_time = time.time() - t0
     assert int(np.asarray(overflow)) == 0, f"cap exceeded: {int(np.asarray(overflow))}"
-    assert int(np.asarray(leaf_ovf)) <= cand_leaf_cap
+    if trav_mode == "cover":
+        assert int(np.asarray(aux_max)) <= run_cap
+    else:
+        assert int(np.asarray(aux_max)) <= cand_leaf_cap
 
     if os.environ.get("BENCH_STAGES"):
-        # per-stage timing: force each stage's output with a 1-element readback
+        # isolated per-stage timing: materialize each stage's inputs first,
+        # then time stage + 1-element readback; subtract the measured
+        # readback/dispatch floor (a null stage) once per stage.
         def force(o):
-            return np.asarray(jax.tree_util.tree_leaves(o)[0]).ravel()[:1]
-
-        # prefix timing: run the pipeline truncated after stage k with one
-        # readback; consecutive differences give per-stage cost with the
-        # tunnel readback/dispatch latency cancelling out
-        names = [
-            "encode", "sort", "tree", "linked", "layout", "groups",
-            "traverse", "runs", "pairwise",
-        ]
-
-        def prefix(k):
-            keys0 = s_encode(x, y, z)
-            o = keys0
-            if k >= 1:
-                keys, xs, ys, zs, hs = o = s_sort(keys0, x, y, z, hj)
-            if k >= 2:
-                tree = o = s_tree(keys)
-            if k >= 3:
-                linked = o = s_linked(tree)
-            if k >= 4:
-                layout = o = s_layout(tree)
-            if k >= 5:
-                view = make_ns_view(linked, layout, box)
-                gx, gy, gz, gh, gvalid, gc, gs, gr = o = s_groups(xs, ys, zs, hs)
-            if k >= 6:
-                leaves_sorted, n_cand = o = s_traverse(
-                    view.centers, view.sizes, linked.child_offsets, gc, gs, gr
-                )
-            if k >= 7:
-                run_start, run_len, n_runs, run_ovf = o = s_runs(
-                    linked.internal_to_leaf, layout, leaves_sorted, n_cand
-                )
-            if k >= 8:
-                o = s_pairwise(
-                    xs, ys, zs, gx, gy, gz, gh, gvalid, run_start, run_len
-                )
+            # one readback only: each np.asarray costs a full tunnel
+            # round-trip (~50-100ms) on the remote backend. jax.block_until_
+            # ready is unreliable there (see ROADMAP.md), but all stage jits
+            # run sequentially on one stream, so reading back any single
+            # output element observes completion of the whole dispatch.
+            np.asarray(jax.tree_util.tree_leaves(o)[-1]).ravel()[:1]
             return o
 
-        cum = []
-        for k in range(len(names)):
+        keys0 = force(s_encode(x, y, z))
+        keys_s, xs, ys, zs, hs = force(s_sort(keys0, x, y, z, hj))
+        tree = force(s_tree(keys_s))
+        gstuff = force(s_groups(xs, ys, zs, hs))
+        gx, gy, gz, gh, gvalid, gc, gs, gr = gstuff
+        stages = [
+            ("encode", lambda: s_encode(x, y, z)),
+            ("sort", lambda: s_sort(keys0, x, y, z, hj)),
+            ("tree", lambda: s_tree(keys_s)),
+            ("groups", lambda: s_groups(xs, ys, zs, hs)),
+        ]
+        if trav_mode == "cover":
+            table = force(s_table(keys_s))
+            cov = force(s_cover(table, gc, gs, gr))
+            run_start, run_len = cov[0], cov[1]
+            stages += [
+                ("table", lambda: s_table(keys_s)),
+                ("cover", lambda: s_cover(table, gc, gs, gr)),
+                ("pairwise", lambda: s_pairwise(
+                    xs, ys, zs, gx, gy, gz, gh, gvalid, run_start, run_len)),
+            ]
+        else:
+            linked = force(s_linked(tree))
+            layout = force(s_layout(tree))
+            view = make_ns_view(linked, layout, box)
+            trav = force(s_traverse(
+                view.centers, view.sizes, linked.child_offsets, gc, gs, gr))
+            leaves_sorted, n_cand = trav[0], trav[1]
+            runs = force(s_runs(
+                linked.internal_to_leaf, layout, leaves_sorted, n_cand))
+            run_start, run_len = runs[0], runs[1]
+            stages += [
+                ("linked", lambda: s_linked(tree)),
+                ("layout", lambda: s_layout(tree)),
+                ("traverse", lambda: s_traverse(
+                    view.centers, view.sizes, linked.child_offsets, gc, gs, gr)),
+                ("runs", lambda: s_runs(
+                    linked.internal_to_leaf, layout, leaves_sorted, n_cand)),
+                ("pairwise", lambda: s_pairwise(
+                    xs, ys, zs, gx, gy, gz, gh, gvalid, run_start, run_len)),
+            ]
+
+        def time_stage(fn):
             ts = []
             for _ in range(3):
                 t0 = time.time()
-                force(prefix(k))
+                force(fn())
                 ts.append(time.time() - t0)
-            cum.append(min(ts))
-        stage_times = {
-            nm: cum[i] - (cum[i - 1] if i else 0.0) for i, nm in enumerate(names)
-        }
+            return min(ts)
+
+        floor = time_stage(lambda: keys0)  # readback/dispatch overhead
+        stage_times = {nm: time_stage(fn) - floor for nm, fn in stages}
         print(
-            "stages(ms, cumulative-diff): "
+            f"stages(ms, isolated, floor={floor*1e3:.1f}): "
             + " ".join(f"{k}={v*1e3:.1f}" for k, v in stage_times.items())
-            + f" total={cum[-1]*1e3:.1f}",
+            + f" sum={sum(stage_times.values())*1e3:.1f}",
             file=sys.stderr,
         )
 
