@@ -87,14 +87,16 @@ class SyncResult:
     start_index: jax.Array
     end_index: jax.Array
     n_with_halos: jax.Array
-    global_ids: jax.Array  # pool index per local slot (for halo re-exchange)
+    global_ids: jax.Array  # pool mode: pool index per local slot (None in p2p)
     sort_order: jax.Array  # pre-sync local slot per sorted position
-    pool_perm: jax.Array  # (rank*cap + sorted slot) per pool position
+    pool_perm: jax.Array  # pool mode: ExchangeLog analog (None in p2p)
     layout: jax.Array  # (cap_leaf+1,) local particle offsets per global leaf
     halo_flags: jax.Array
     tree: LinkedOctree
     leaf_counts: jax.Array
     overflow: jax.Array  # >0 if any capacity was exceeded
+    ex_record: object = None  # p2p mode: parallel.exchange.ExchangeRecord
+    halo_record: object = None  # p2p mode: parallel.exchange.HaloRecord
 
 
 class Domain:
@@ -120,6 +122,11 @@ class Domain:
         focus_capacity: int = 0,
         axis_name: Optional[str] = None,
         halo_search_ext: float = 1.0,
+        exchange_mode: str = "p2p",
+        move_cap: int = 0,
+        treelet_cap: int = 0,
+        halo_req_cap: int = 0,
+        halo_cap: int = 0,
     ):
         self.rank = rank
         self.n_ranks = int(n_ranks)
@@ -133,6 +140,14 @@ class Domain:
         self.focus_capacity = int(focus_capacity) or int(tree_capacity)
         self.axis_name = axis_name
         self.halo_search_ext = float(halo_search_ext)
+        # p2p exchange capacities (grown by host retry loops on overflow,
+        # the reallocate analog, util/reallocate.hpp:38-107). Zero = derive
+        # defaults from the other capacities at sync time.
+        self.exchange_mode = exchange_mode
+        self.move_cap = int(move_cap)
+        self.treelet_cap = int(treelet_cap)
+        self.halo_req_cap = int(halo_req_cap)
+        self.halo_cap = int(halo_cap)
 
     # ------------------------------------------------------------------
     def init_state(self, box: Optional[Box] = None, boundaries=(0, 0, 0)) -> DomainState:
@@ -191,84 +206,28 @@ class Domain:
         halo flags are augmented with mass-center vector-MAC failures
         (focusTree.addMacs, octree_focus_mpi.hpp:601-610). The reference's
         center-drift retry loop is unnecessary here because expansion
-        centers are recomputed exactly from the pool every step.
+        centers are recomputed exactly every step.
+
+        exchange_mode="p2p" (default) routes all particle/halo/count
+        communication through peer-local all_to_all protocols with
+        O(local+surface) cost per rank (parallel/exchange.py);
+        exchange_mode="pool" keeps the round-1 all_gather + global-sort
+        pool, which is O(N_global) per rank but useful for validation.
         """
         if grav and len(properties) == 0:
             raise ValueError("sync(grav=True) requires the mass as properties[0]")
+        if self.exchange_mode == "p2p":
+            return self._sync_p2p(
+                state, x, y, z, h, properties, n_local, boundaries, grav
+            )
+        (box, keys, sort_order, xs, ys, zs, hs, props_s, tree, assignment,
+         n_local, valid) = self._common_assign(
+            state, x, y, z, h, properties, n_local, boundaries
+        )
         dt = self.key_dtype
         cap = x.shape[0]
         fdt = x.dtype
         rk = remove_key(dt)
-        if n_local is None:
-            n_local = jnp.int32(cap)
-        n_local = jnp.asarray(n_local, jnp.int32)
-        slot = jnp.arange(cap, dtype=jnp.int32)
-        valid = slot < n_local
-
-        props = tuple(properties)
-
-        # ---- 1. global bounding box (box_mpi.hpp:85-119) -------------------
-        big = fdt.type(np.finfo(fdt).max)
-        xm = jnp.where(valid, x, big)
-        ym = jnp.where(valid, y, big)
-        zm = jnp.where(valid, z, big)
-        xM = jnp.where(valid, x, -big)
-        yM = jnp.where(valid, y, -big)
-        zM = jnp.where(valid, z, -big)
-        bnd = state.box.boundaries if boundaries is None else tuple(boundaries)
-        if self.axis_name is None:
-            mins = jnp.stack([jnp.min(xm), jnp.min(ym), jnp.min(zm)])
-            maxs = jnp.stack([jnp.max(xM), jnp.max(yM), jnp.max(zM)])
-        else:
-            mins = jax.lax.pmin(
-                jnp.stack([jnp.min(xm), jnp.min(ym), jnp.min(zm)]), self.axis_name
-            )
-            maxs = jax.lax.pmax(
-                jnp.stack([jnp.max(xM), jnp.max(yM), jnp.max(zM)]), self.axis_name
-            )
-        # periodic/fixed dims keep previous limits unless first call
-        keep = jnp.asarray([b != 0 for b in bnd])
-        use_prev = keep & (~state.first_call)
-        mins = jnp.where(use_prev, state.box.mins.astype(fdt), mins)
-        maxs = jnp.where(use_prev, state.box.maxs.astype(fdt), maxs)
-        # for periodic boundaries on first call, the caller-provided box is
-        # authoritative; here we fit the particles (callers with periodic
-        # boxes should pass an explicit box via init_state + set limits)
-        limits = jnp.stack([mins[0], maxs[0], mins[1], maxs[1], mins[2], maxs[2]])
-        prev_limits = state.box.limits.astype(fdt)
-        limits = jnp.where(
-            state.first_call & jnp.any(jnp.asarray([b != 0 for b in bnd])),
-            jnp.where(jnp.repeat(keep, 2), prev_limits, limits),
-            limits,
-        )
-        box = Box(limits=limits, boundaries=bnd)
-
-        # ---- 2. SFC keys + local sort (sfc.hpp:284, gather.hpp:158) --------
-        keys = compute_sfc_keys(x, y, z, box, dt, self.curve)
-        keys = jnp.where(valid, keys, rk)
-        sorted_ = jax.lax.sort(
-            (keys, slot, x, y, z, h) + props, num_keys=1, is_stable=True
-        )
-        keys = sorted_[0]
-        sort_order = sorted_[1]  # SfcSorter map (primitives/gather.hpp:158)
-        xs, ys, zs, hs = sorted_[2:6]
-        props_s = sorted_[6:]
-
-        # ---- 3. global tree update (update_mpi.hpp:48-104) -----------------
-        tree = self._update_global_tree(state, keys, n_local)
-
-        # ---- 4. assignment (domaindecomp.hpp:115-166) ----------------------
-        assignment = make_sfc_assignment(
-            tree.keys, tree.counts, tree.n_nodes, self.n_ranks
-        )
-        old_ok = ~state.first_call
-        old = SfcAssignment(
-            boundaries=jnp.where(
-                old_ok, state.assignment.boundaries, assignment.boundaries
-            ),
-            counts=state.assignment.counts,
-        )
-        assignment = limit_boundary_shifts(old, assignment, tree.keys, tree.counts)
 
         # ---- 5. particle exchange: all_gather + global merge ---------------
         pool = self._pgather(keys)  # (R, cap) keys
@@ -440,6 +399,376 @@ class Domain:
         return new_state, result
 
     # ------------------------------------------------------------------
+    def _common_assign(self, state, x, y, z, h, properties, n_local, boundaries):
+        """Steps shared by both exchange modes: global box, key encode +
+        local sort, global tree update, SFC assignment (call stack
+        domain.hpp:197-243 steps 1-4)."""
+        dt = self.key_dtype
+        cap = x.shape[0]
+        fdt = x.dtype
+        rk = remove_key(dt)
+        if n_local is None:
+            n_local = jnp.int32(cap)
+        n_local = jnp.asarray(n_local, jnp.int32)
+        slot = jnp.arange(cap, dtype=jnp.int32)
+        valid = slot < n_local
+
+        props = tuple(properties)
+
+        # ---- 1. global bounding box (box_mpi.hpp:85-119) -------------------
+        big = fdt.type(np.finfo(fdt).max)
+        xm = jnp.where(valid, x, big)
+        ym = jnp.where(valid, y, big)
+        zm = jnp.where(valid, z, big)
+        xM = jnp.where(valid, x, -big)
+        yM = jnp.where(valid, y, -big)
+        zM = jnp.where(valid, z, -big)
+        bnd = state.box.boundaries if boundaries is None else tuple(boundaries)
+        if self.axis_name is None:
+            mins = jnp.stack([jnp.min(xm), jnp.min(ym), jnp.min(zm)])
+            maxs = jnp.stack([jnp.max(xM), jnp.max(yM), jnp.max(zM)])
+        else:
+            mins = jax.lax.pmin(
+                jnp.stack([jnp.min(xm), jnp.min(ym), jnp.min(zm)]), self.axis_name
+            )
+            maxs = jax.lax.pmax(
+                jnp.stack([jnp.max(xM), jnp.max(yM), jnp.max(zM)]), self.axis_name
+            )
+        # periodic/fixed dims keep previous limits unless first call
+        keep = jnp.asarray([b != 0 for b in bnd])
+        use_prev = keep & (~state.first_call)
+        mins = jnp.where(use_prev, state.box.mins.astype(fdt), mins)
+        maxs = jnp.where(use_prev, state.box.maxs.astype(fdt), maxs)
+        # for periodic boundaries on first call, the caller-provided box is
+        # authoritative; here we fit the particles (callers with periodic
+        # boxes should pass an explicit box via init_state + set limits)
+        limits = jnp.stack([mins[0], maxs[0], mins[1], maxs[1], mins[2], maxs[2]])
+        prev_limits = state.box.limits.astype(fdt)
+        limits = jnp.where(
+            state.first_call & jnp.any(jnp.asarray([b != 0 for b in bnd])),
+            jnp.where(jnp.repeat(keep, 2), prev_limits, limits),
+            limits,
+        )
+        box = Box(limits=limits, boundaries=bnd)
+
+        # ---- 2. SFC keys + local sort (sfc.hpp:284, gather.hpp:158) --------
+        keys = compute_sfc_keys(x, y, z, box, dt, self.curve)
+        keys = jnp.where(valid, keys, rk)
+        sorted_ = jax.lax.sort(
+            (keys, slot, x, y, z, h) + props, num_keys=1, is_stable=True
+        )
+        keys = sorted_[0]
+        sort_order = sorted_[1]  # SfcSorter map (primitives/gather.hpp:158)
+        xs, ys, zs, hs = sorted_[2:6]
+        props_s = sorted_[6:]
+
+        # ---- 3. global tree update (update_mpi.hpp:48-104) -----------------
+        tree = self._update_global_tree(state, keys, n_local)
+
+        # ---- 4. assignment (domaindecomp.hpp:115-166) ----------------------
+        assignment = make_sfc_assignment(
+            tree.keys, tree.counts, tree.n_nodes, self.n_ranks
+        )
+        old_ok = ~state.first_call
+        old = SfcAssignment(
+            boundaries=jnp.where(
+                old_ok, state.assignment.boundaries, assignment.boundaries
+            ),
+            counts=state.assignment.counts,
+        )
+        assignment = limit_boundary_shifts(old, assignment, tree.keys, tree.counts)
+        return (box, keys, sort_order, xs, ys, zs, hs, props_s, tree,
+                assignment, n_local, valid)
+
+    # ------------------------------------------------------------------
+    def _p2p_caps(self, cap: int):
+        """Default p2p capacities derived from local capacity."""
+        R = max(self.n_ranks, 1)
+        move_cap = self.move_cap or max(64, (2 * cap) // R)
+        treelet_cap = self.treelet_cap or max(64, self.focus_capacity // 4)
+        halo_req_cap = self.halo_req_cap or max(64, self.focus_capacity // 4)
+        halo_cap = self.halo_cap or max(128, cap // 2)
+        return move_cap, treelet_cap, halo_req_cap, halo_cap
+
+    def _leaf_counts_service(
+        self, leaves, n_leaf, owned_keys, n_owned, boundaries, q_cap
+    ):
+        """Exact per-leaf counts: local searchsorted for own cells, the
+        peer count service for everything else (updateCounts analog,
+        octree_focus_mpi.hpp:205-273). Returns (counts, overflow)."""
+        from ..parallel.exchange import range_count_service
+
+        cap_leaf = leaves.shape[0] - 1
+        me = jnp.asarray(self.rank, jnp.int32)
+        li = jnp.arange(cap_leaf, dtype=jnp.int32)
+        lvalid = li < n_leaf
+        a = leaves[:-1]
+        b = leaves[1:]
+
+        pos = _searchsorted(owned_keys, leaves, side="left")
+        pos = jnp.minimum(pos, jnp.asarray(n_owned, jnp.int32))
+        local = (pos[1:] - pos[:-1]).astype(jnp.uint32)
+
+        dest = (
+            jnp.searchsorted(boundaries, a, side="right").astype(jnp.int32) - 1
+        )
+        dest = jnp.clip(dest, 0, self.n_ranks - 1)
+        mine = dest == me
+        foreign, ovf = range_count_service(
+            a, b, dest, lvalid & (~mine), owned_keys, n_owned,
+            self.n_ranks, q_cap, self.axis_name,
+        )
+        counts = jnp.where(mine & lvalid, local, foreign.astype(jnp.uint32))
+        return jnp.where(lvalid, counts, 0), ovf
+
+    # ------------------------------------------------------------------
+    def _sync_p2p(
+        self, state, x, y, z, h, properties, n_local, boundaries, grav
+    ) -> Tuple[DomainState, SyncResult]:
+        """Peer-local sync: all communication is O(local+surface) per rank.
+
+        Step order mirrors Domain::sync (domain.hpp:197-243): assign ->
+        exchangeParticles -> focus tree -> counts -> halo discovery ->
+        layout -> halo exchange of x/y/z/h(+props), with the reference's
+        sparse MPI protocols realized as all_to_all rounds
+        (parallel/exchange.py).
+        """
+        from ..focus.octree_focus import focus_converge
+        from ..parallel.exchange import (
+            build_halo_exchange,
+            exchange_halo_field,
+            exchange_particles,
+        )
+        from ..traversal.macs import inv_theta_min_mac, inv_theta_vec_mac
+
+        dt = self.key_dtype
+        cap = x.shape[0]
+        fdt = x.dtype
+        rk = remove_key(dt)
+        move_cap, treelet_cap, halo_req_cap, halo_cap = self._p2p_caps(cap)
+
+        (box, keys, sort_order, xs, ys, zs, hs, props_s, tree, assignment,
+         n_local, valid) = self._common_assign(
+            state, x, y, z, h, properties, n_local, boundaries
+        )
+
+        # ---- 5. particle exchange (domaindecomp_mpi.hpp:104-158) -----------
+        my_rank = jnp.asarray(self.rank, jnp.int32)
+        okeys, opayload, ex = exchange_particles(
+            keys, (xs, ys, zs, hs) + props_s, assignment.boundaries,
+            my_rank, n_local, move_cap, self.axis_name,
+        )
+        ox, oy, oz, oh = opayload[:4]
+        oprops = opayload[4:]
+        n_owned = ex.n_owned
+        overflow = ex.overflow
+
+        # ---- 6. focused octree (LET) with service counts -------------------
+        _itm = inv_theta_vec_mac if grav else inv_theta_min_mac
+        focus_start = assignment.boundaries[my_rank]
+        focus_end = assignment.boundaries[my_rank + 1]
+
+        def counts_fn(leaves, n_leaf):
+            counts, _ = self._leaf_counts_service(
+                leaves, n_leaf, okeys, n_owned, assignment.boundaries,
+                treelet_cap,
+            )
+            return counts
+
+        _, _, linked = focus_converge(
+            state.focus_leaves,
+            state.focus_n,
+            None,
+            None,
+            box,
+            focus_start,
+            focus_end,
+            assignment.boundaries,
+            self.bucket_size_focus,
+            _itm(self.theta),
+            axis_name=self.axis_name,
+            curve=self.curve,
+            leaf_counts_fn=counts_fn,
+        )
+        cap_leaf = linked.leaves.shape[0] - 1
+
+        leaf_counts, svc_ovf = self._leaf_counts_service(
+            linked.leaves, linked.n_leaf, okeys, n_owned,
+            assignment.boundaries, treelet_cap,
+        )
+        overflow = jnp.maximum(overflow, svc_ovf)
+
+        first_leaf = _searchsorted(linked.leaves, focus_start, side="left")[()]
+        last_leaf = _searchsorted(linked.leaves, focus_end, side="left")[()]
+
+        # ---- 7. per-leaf interaction radii from OWNED particles ------------
+        leaf_off = _searchsorted(okeys, linked.leaves, side="left")
+        leaf_off = jnp.minimum(leaf_off, n_owned)
+        pseg = jnp.searchsorted(
+            leaf_off[1:], jnp.arange(cap, dtype=jnp.int32), side="right"
+        ).astype(jnp.int32)
+        pseg = jnp.minimum(pseg, cap_leaf - 1)
+        oh_valid = jnp.where(jnp.arange(cap, dtype=jnp.int32) < n_owned, oh, 0.0)
+        leaf_hmax = jax.ops.segment_max(
+            oh_valid, pseg, num_segments=cap_leaf, indices_are_sorted=True
+        )
+        leaf_hmax = jnp.maximum(leaf_hmax, 0.0)
+        li = jnp.arange(cap_leaf, dtype=jnp.int32)
+        mine_leaf = (li >= first_leaf) & (li < last_leaf)
+        radii = jnp.where(
+            mine_leaf, leaf_hmax * fdt.type(2.0 * self.halo_search_ext), 0.0
+        )
+
+        halo_flags = find_halos(
+            linked, radii, box, first_leaf, last_leaf, self.curve
+        )
+
+        if grav:
+            # vector-MAC halo augmentation from exact mass centers: own
+            # cells local, peer cells via the sum service (updateCenters,
+            # octree_focus_mpi.hpp:369-449 + addMacs :601-610)
+            from ..focus.source_center import set_mac_radii, upsweep_centers
+            from ..parallel.exchange import range_sum_service
+            from ..traversal.macs import mark_macs
+
+            om = oprops[0]
+            w = jnp.abs(om)
+            vals = jnp.stack([w * ox, w * oy, w * oz, w], axis=-1)
+            ow_valid = (jnp.arange(cap, dtype=jnp.int32) < n_owned)[:, None]
+            leaf_acc_local = jax.ops.segment_sum(
+                jnp.where(ow_valid, vals, 0.0), pseg,
+                num_segments=cap_leaf, indices_are_sorted=True,
+            )
+            a = linked.leaves[:-1]
+            b = linked.leaves[1:]
+            dest = (
+                jnp.searchsorted(assignment.boundaries, a, side="right")
+                .astype(jnp.int32) - 1
+            )
+            dest = jnp.clip(dest, 0, self.n_ranks - 1)
+            lvalid = li < linked.n_leaf
+            foreign_sums, sum_ovf = range_sum_service(
+                a, b, dest, lvalid & (dest != my_rank), okeys, n_owned, vals,
+                self.n_ranks, treelet_cap, self.axis_name,
+            )
+            overflow = jnp.maximum(overflow, sum_ovf)
+            leaf_acc = jnp.where(
+                (dest == my_rank)[:, None], leaf_acc_local, foreign_sums
+            )
+            mass = leaf_acc[:, 3:4]
+            inv = jnp.where(mass != 0, 1.0 / jnp.where(mass != 0, mass, 1.0), 1.0)
+            leaf_centers = jnp.concatenate([leaf_acc[:, :3] * inv, mass], axis=-1)
+            node_centers = upsweep_centers(linked, leaf_centers)
+            centers4 = set_mac_radii(
+                linked, node_centers, 1.0 / self.theta, box, self.curve
+            )
+            mac_marks = mark_macs(
+                linked, centers4, box, focus_start, focus_end,
+                linked.leaves, linked.n_leaf, limit_source=False,
+                curve=self.curve,
+            )
+            mac_leaf = mac_marks[linked.leaf_order()]
+            halo_flags = jnp.where(
+                mine_leaf, halo_flags, halo_flags | mac_leaf.astype(halo_flags.dtype)
+            )
+
+        # ---- 8. layout (layout.hpp:150-164) --------------------------------
+        layout = compute_node_layout(leaf_counts, halo_flags, first_leaf, last_leaf)
+        n_with_halos = layout[cap_leaf]
+        start_index = layout[first_leaf]
+        end_index = layout[last_leaf]
+        overflow = jnp.maximum(
+            overflow, jnp.where(n_with_halos > cap, n_with_halos, 0)
+        )
+
+        # ---- 9. place owned particles at [start_index, end_index) ----------
+        j = jnp.arange(cap, dtype=jnp.int32)
+        tgt = jnp.where(j < n_owned, start_index + j, cap)
+
+        def place(owned, fill):
+            buf = jnp.full((cap,), fill, owned.dtype)
+            return buf.at[tgt].set(owned, mode="drop")
+
+        new_x = place(ox, fdt.type(0))
+        new_y = place(oy, fdt.type(0))
+        new_z = place(oz, fdt.type(0))
+        new_h = place(oh, fdt.type(0))
+        new_props = tuple(place(p, p.dtype.type(0)) for p in oprops)
+
+        # ---- 10. halo exchange of x, y, z, h (+props) -----------------------
+        dest_leaf = (
+            jnp.searchsorted(assignment.boundaries, linked.leaves[:-1], side="right")
+            .astype(jnp.int32) - 1
+        )
+        dest_leaf = jnp.clip(dest_leaf, 0, self.n_ranks - 1)
+        lvalid = li < linked.n_leaf
+        halo_req = (halo_flags.astype(bool)) & (~mine_leaf) & lvalid
+        halo_rec = build_halo_exchange(
+            linked.leaves[:-1], linked.leaves[1:], leaf_counts, layout,
+            halo_req, dest_leaf, okeys, n_owned, self.n_ranks,
+            halo_req_cap, halo_cap, self.axis_name,
+        )
+        overflow = jnp.maximum(overflow, halo_rec.overflow)
+
+        new_x = exchange_halo_field(ox, new_x, halo_rec, self.axis_name)
+        new_y = exchange_halo_field(oy, new_y, halo_rec, self.axis_name)
+        new_z = exchange_halo_field(oz, new_z, halo_rec, self.axis_name)
+        new_h = exchange_halo_field(oh, new_h, halo_rec, self.axis_name)
+        new_props = tuple(
+            exchange_halo_field(op, np_buf, halo_rec, self.axis_name)
+            for op, np_buf in zip(oprops, new_props)
+        )
+
+        # halo keys recomputed from coordinates (domain.hpp:523-540)
+        in_buf = j < n_with_halos
+        new_keys = compute_sfc_keys(new_x, new_y, new_z, box, dt, self.curve)
+        new_keys = jnp.where(in_buf, new_keys, rk)
+        owned_slots = (j >= start_index) & (j < end_index)
+        okeys_placed = place(okeys, rk)
+        new_keys = jnp.where(owned_slots, okeys_placed, new_keys)
+
+        gcap = tree.keys.shape[0] - 1
+        overflow = jnp.maximum(
+            overflow, jnp.where(tree.n_nodes > gcap, tree.n_nodes, 0)
+        )
+        overflow = jnp.maximum(
+            overflow, jnp.where(linked.n_leaf > cap_leaf, linked.n_leaf, 0)
+        )
+        if self.axis_name is not None:
+            overflow = jax.lax.pmax(overflow, self.axis_name)
+
+        new_state = DomainState(
+            box=box,
+            assignment=assignment,
+            global_tree=tree,
+            focus_leaves=linked.leaves,
+            focus_n=linked.n_leaf,
+            first_call=jnp.bool_(False),
+        )
+        result = SyncResult(
+            keys=new_keys,
+            x=new_x,
+            y=new_y,
+            z=new_z,
+            h=new_h,
+            properties=new_props,
+            start_index=start_index,
+            end_index=end_index,
+            n_with_halos=n_with_halos,
+            global_ids=None,
+            sort_order=sort_order,
+            pool_perm=None,
+            layout=layout,
+            halo_flags=halo_flags,
+            tree=linked,
+            leaf_counts=leaf_counts,
+            overflow=overflow.astype(jnp.int32),
+            ex_record=ex,
+            halo_record=halo_rec,
+        )
+        return new_state, result
+
+    # ------------------------------------------------------------------
     def _update_global_tree(self, state: DomainState, keys, n_local) -> CsArray:
         from ..tree.csarray import rebalance_decision, rebalance_tree
 
@@ -482,6 +811,16 @@ class Domain:
         """
         cap = prop.shape[0]
         j = jnp.arange(cap, dtype=jnp.int32)
+        if result.halo_record is not None:
+            from ..parallel.exchange import exchange_halo_field
+
+            # owned region in layout order IS the owned-sorted order
+            owned_sorted = prop[
+                jnp.clip(result.start_index + j, 0, cap - 1)
+            ]
+            return exchange_halo_field(
+                owned_sorted, prop, result.halo_record, self.axis_name
+            )
         owned = (j >= result.start_index) & (j < result.end_index)
 
         n_pool = cap * (self.n_ranks if self.axis_name is not None else 1)
@@ -514,11 +853,21 @@ class Domain:
         """Replay the sync exchange for an extra field (domain.hpp:335-378).
 
         prop: (local_capacity,) values in the PRE-sync local particle order.
-        Returns the field in post-sync layout order, halos included. The
-        replay is deterministic by construction (the recorded permutations
-        replace the reference's ExchangeLog, index_ranges.hpp:188-211).
+        Returns the field in post-sync layout order (halo slots zero in p2p
+        mode, matching the reference where extra fields' halos are filled
+        on demand via exchangeHalos). The replay is deterministic by
+        construction (the recorded permutations replace the reference's
+        ExchangeLog, index_ranges.hpp:188-211).
         """
         sorted_prop = prop[result.sort_order]
+        if result.ex_record is not None:
+            from ..parallel.exchange import replay_exchange
+
+            owned = replay_exchange(sorted_prop, result.ex_record, self.axis_name)
+            cap = prop.shape[0]
+            j = jnp.arange(cap, dtype=jnp.int32)
+            tgt = jnp.where(j < result.ex_record.n_owned, result.start_index + j, cap)
+            return jnp.zeros((cap,), prop.dtype).at[tgt].set(owned, mode="drop")
         pool = self._pgather(sorted_prop).reshape(-1)
         pool = pool[result.pool_perm]
         return pool[result.global_ids]

@@ -87,7 +87,7 @@ def focus_update_once(
 def focus_converge(
     leaves0: jax.Array,
     n_leaf0,
-    pool_keys: jax.Array,
+    pool_keys: jax.Array | None,
     n_pool,
     box: Box,
     focus_start,
@@ -98,12 +98,17 @@ def focus_converge(
     max_iters: int = 32,
     axis_name: str | None = None,
     curve: str = HILBERT,
+    leaf_counts_fn: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
 ) -> Tuple[jax.Array, jax.Array, LinkedOctree]:
     """Fixed-point focus tree construction (octree_focus_mpi.hpp:535-553).
 
-    Iterates CombinedUpdate with exact pool counts and geometric min-MAC
-    markings until every rank's tree is unchanged. Returns (leaves, n_leaf,
-    linked tree of the converged focus).
+    Iterates CombinedUpdate with exact counts and geometric min-MAC
+    markings until every rank's tree is unchanged. Counts come either from
+    the globally sorted pool (pool_keys; the round-1 O(N_global) path) or
+    from `leaf_counts_fn(leaves, n_leaf) -> (cap_leaf,) uint32` — e.g. the
+    peer-local count service (parallel/exchange.range_count_service), the
+    analog of the reference's updateCounts peer exchange
+    (octree_focus_mpi.hpp:205-273). Returns (leaves, n_leaf, linked tree).
     """
     from ..traversal.macs import mark_macs
 
@@ -122,7 +127,10 @@ def focus_converge(
         )
 
     def counts_of(linked: LinkedOctree) -> jax.Array:
-        leaf_counts = pool_leaf_counts(pool_keys, linked.leaves, n_pool)
+        if leaf_counts_fn is not None:
+            leaf_counts = leaf_counts_fn(linked.leaves, linked.n_leaf)
+        else:
+            leaf_counts = pool_leaf_counts(pool_keys, linked.leaves, n_pool)
         return upsweep_sum(linked, leaf_counts, saturate_u32=True)
 
     def body(state):

@@ -59,15 +59,17 @@ def pack_by_dest(
     """(row, col) scatter coordinates packing items into (n_ranks, cap).
 
     Items must be sorted by destination (true for SFC-ordered cells/leaves,
-    whose owner rank is monotonic along the curve). col is the item's index
-    within its destination row. Invalid items get row n_ranks (dropped by
-    mode='drop' scatters).
+    whose owner rank is monotonic along the curve); invalid items may be
+    interleaved anywhere. col is the item's index within its destination
+    row counting valid items only. Invalid items get row n_ranks (dropped
+    by mode='drop' scatters).
     """
-    q = jnp.arange(dest.shape[0], dtype=jnp.int32)
-    d = jnp.where(valid, dest, n_ranks)
-    first = jnp.searchsorted(d, d, side="left").astype(jnp.int32)
-    col = q - first
-    row = jnp.where(valid, d, n_ranks)
+    # first occurrence per destination on the RAW (monotonic) dest; col =
+    # number of VALID items of the same dest before this one
+    vcum_ex = jnp.cumsum(valid.astype(jnp.int32)) - valid.astype(jnp.int32)
+    first = jnp.searchsorted(dest, dest, side="left").astype(jnp.int32)
+    col = vcum_ex - vcum_ex[first]
+    row = jnp.where(valid, dest, n_ranks)
     return row, col
 
 
