@@ -27,7 +27,9 @@ from ..sfc.box import Box
 from ..sfc.encode import HILBERT
 from ..tree.csarray import rebalance_tree
 from ..tree.octree import LinkedOctree, build_linked_octree, upsweep_sum
+from .inject import inject_keys
 from .rebalance import (
+    FAILED,
     enforce_keys,
     protect_ancestors,
     rebalance_decision_essential,
@@ -81,6 +83,20 @@ def focus_update_once(
 
     leaf_ops = extract_leaf_ops(linked, ops)
     new_leaves, new_n = rebalance_tree(linked.leaves, leaf_ops, linked.n_leaf)
+
+    # FAILED: some mandatory key sits >1 level below its containing leaf,
+    # so one-level splitting cannot reach it this round. Splice the full
+    # spanning cover of every mandatory key directly into the leaf array,
+    # exactly like the reference's forced injection on failed resolution
+    # (octree_focus.hpp:83-215 + inject.hpp:52-111).
+    new_leaves, new_n = jax.lax.cond(
+        status == FAILED,
+        lambda lv, nn: (lambda o, m: (o, m.astype(jnp.int32)))(
+            *inject_keys(lv, nn, mandatory_keys)
+        ),
+        lambda lv, nn: (lv, jnp.asarray(nn, jnp.int32)),
+        new_leaves, new_n,
+    )
     return new_leaves, new_n, converged
 
 

@@ -32,7 +32,9 @@ def _kernel(tgt_ref, r2_ref, cand_ref, cidx_ref, out_ref, *, group_size: int):
     gb = tgt_ref.shape[0]
     G = group_size
     C = cand_ref.shape[1]
-    base_group = pl.program_id(0) * gb
+    # python ints promote through i64 and recurse under tracing (see
+    # pallas_neighbors_v2.py) — wrap every scalar constant as int32
+    base_group = pl.program_id(0) * jnp.int32(gb)
 
     def one_group(g, _):
         T = tgt_ref[g]  # (G, 3)
@@ -46,7 +48,7 @@ def _kernel(tgt_ref, r2_ref, cand_ref, cidx_ref, out_ref, *, group_size: int):
         d2 = dx * dx + dy * dy + dz * dz  # (G, C)
 
         tgt_idx = (
-            (base_group + g) * G
+            (base_group + g) * jnp.int32(G)
             + jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
         )
         not_self = ci[None, :] != tgt_idx
@@ -57,7 +59,6 @@ def _kernel(tgt_ref, r2_ref, cand_ref, cidx_ref, out_ref, *, group_size: int):
     jax.lax.fori_loop(0, gb, one_group, 0)
 
 
-@partial(jax.jit, static_argnames=("group_block", "interpret"))
 def pairwise_count(
     targets: jax.Array,  # (n_groups, G, 3) f32
     r2: jax.Array,  # (n_groups, G) squared search radii (can be <0 for pad)
@@ -67,6 +68,26 @@ def pairwise_count(
     interpret: bool = False,
 ) -> jax.Array:
     """(n_groups, G) neighbor counts."""
+    # x64 tracing leaks i64 scalars into the kernel; Mosaic's i64->u32
+    # convert lowering recurses forever. Flip x64 off around the trace,
+    # exactly as pallas_neighbors_v2.py does.
+    prev_x64 = jax.config.jax_enable_x64
+    try:
+        if prev_x64:
+            jax.config.update("jax_enable_x64", False)
+        return _pairwise_count_call(
+            targets, r2, cand, cand_idx,
+            group_block=group_block, interpret=interpret,
+        )
+    finally:
+        if prev_x64:
+            jax.config.update("jax_enable_x64", True)
+
+
+@partial(jax.jit, static_argnames=("group_block", "interpret"))
+def _pairwise_count_call(
+    targets, r2, cand, cand_idx, group_block, interpret
+) -> jax.Array:
     n_groups, G, _ = targets.shape
     C = cand.shape[1]
     assert n_groups % group_block == 0, "pad n_groups to group_block"
@@ -88,5 +109,8 @@ def pairwise_count(
         out_specs=pl.BlockSpec((group_block, G), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_groups, G), jnp.uint32),
+        # the (G, C) distance intermediates exceed Mosaic's default 16MB
+        # scoped-vmem budget; v5e has 128MB of VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(targets, r2, cand, cand_idx)

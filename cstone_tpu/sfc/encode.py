@@ -30,6 +30,7 @@ __all__ = [
     "MORTON",
     "HILBERT",
     "isfc_key",
+    "isfc_key_top",
     "decode_sfc",
     "sfc3d",
     "compute_sfc_keys",
@@ -49,6 +50,26 @@ def isfc_key(ix, iy, iz, key_dtype, curve: str = HILBERT) -> jax.Array:
         return _morton.imorton(ix, iy, iz, key_dtype)
     if curve == HILBERT:
         return _hilbert.ihilbert(ix, iy, iz, key_dtype)
+    raise ValueError(f"unknown curve {curve!r}")
+
+
+def isfc_key_top(
+    ix, iy, iz, levels: int, lmax: int, curve: str = HILBERT
+) -> jax.Array:
+    """Top 3*levels bits of the depth-lmax key, as uint32 — equal to
+    `isfc_key(...) >> 3*(lmax-levels)`. Cheap coarse-cell encode: runs
+    only `levels` rounds (Hilbert) / expands only the top bits (Morton).
+    """
+    if curve == MORTON:
+        ls = np.uint32(lmax - levels)
+        return _morton.imorton(
+            ix.astype(jnp.uint32) >> ls,
+            iy.astype(jnp.uint32) >> ls,
+            iz.astype(jnp.uint32) >> ls,
+            jnp.uint32,
+        ).astype(jnp.uint32)
+    if curve == HILBERT:
+        return _hilbert.ihilbert_top(ix, iy, iz, levels, lmax)
     raise ValueError(f"unknown curve {curve!r}")
 
 

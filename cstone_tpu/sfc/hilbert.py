@@ -17,7 +17,13 @@ import numpy as np
 
 from .keys import max_tree_level
 
-__all__ = ["ihilbert", "decode_hilbert", "ihilbert_2d", "decode_hilbert_2d"]
+__all__ = [
+    "ihilbert",
+    "ihilbert_top",
+    "decode_hilbert",
+    "ihilbert_2d",
+    "decode_hilbert_2d",
+]
 
 
 def _morton_to_hilbert(octant: jax.Array) -> jax.Array:
@@ -80,6 +86,59 @@ def ihilbert(px: jax.Array, py: jax.Array, pz: jax.Array, key_dtype) -> jax.Arra
         return npx, npy, npz, key
 
     _, _, _, key = jax.lax.fori_loop(0, lmax, body, (px, py, pz, key))
+    return key
+
+
+def ihilbert_top(
+    px: jax.Array, py: jax.Array, pz: jax.Array, levels: int, lmax: int
+) -> jax.Array:
+    """Top 3*levels bits of the depth-lmax Hilbert key, as uint32.
+
+    Runs only the first `levels` rounds of the ihilbert level loop (the
+    per-round math is identical), so the result equals
+    `ihilbert(px,py,pz) >> 3*(lmax-levels)`. The Hilbert rounds consume
+    coordinate bits top-down, which is what makes this prefix property
+    hold. Requires 3*levels <= 30. Used for coarse grid-cell keys
+    (traversal/cover.py) where a full-depth 64-bit encode would waste
+    15 of 21 rounds in emulated u64 arithmetic.
+    """
+    assert 3 * levels <= 30
+    px = px.astype(jnp.uint32)
+    py = py.astype(jnp.uint32)
+    pz = pz.astype(jnp.uint32)
+    key = jnp.zeros(jnp.broadcast_shapes(px.shape, py.shape, pz.shape), jnp.uint32)
+
+    one = jnp.uint32(1)
+    zero = jnp.uint32(0)
+
+    def body(i, carry):
+        px, py, pz, key = carry
+        level = jnp.uint32(lmax - 1) - i.astype(jnp.uint32)
+
+        xi = (px >> level) & one
+        yi = (py >> level) & one
+        zi = (pz >> level) & one
+
+        octant = (xi << one + one) | (yi << one) | zi
+        key = (key << jnp.uint32(3)) + _morton_to_hilbert(octant)
+
+        not_yi = yi ^ one
+        not_zi = zi ^ one
+        mx = xi & (not_yi | zi)
+        my = (xi & (yi | zi)) | (yi & not_zi)
+        mz = (xi & not_yi & not_zi) | (yi & not_zi)
+        px = px ^ (zero - mx)
+        py = py ^ (zero - my)
+        pz = pz ^ (zero - mz)
+
+        rot = zi == one
+        swp = (zi == zero) & (yi == zero)
+        npx = jnp.where(rot, py, jnp.where(swp, pz, px))
+        npy = jnp.where(rot, pz, py)
+        npz = jnp.where(rot, px, jnp.where(swp, px, pz))
+        return npx, npy, npz, key
+
+    _, _, _, key = jax.lax.fori_loop(0, levels, body, (px, py, pz, key))
     return key
 
 

@@ -36,7 +36,7 @@ import numpy as np
 
 from ..ops.bits import bit_width
 from ..sfc.box import Box
-from ..sfc.encode import HILBERT, isfc_key
+from ..sfc.encode import HILBERT, isfc_key_top
 from ..sfc.keys import max_tree_level
 
 __all__ = ["build_cell_table", "group_cover_runs"]
@@ -194,10 +194,13 @@ def group_cover_runs(
     if active is not None:
         valid = valid & active[:, None]
 
-    keys = isfc_key(gx, gy, gz, dt, curve)  # (n_groups, K) cell corner keys
+    # cell corner keys at table_level resolution: only the top
+    # 3*table_level key bits are needed for the table lookup, so run just
+    # `table_level` encode rounds in u32 instead of a full-depth (u64)
+    # encode — the dominant cost of this stage at 64-bit keys
+    tstart = isfc_key_top(gx, gy, gz, int(table_level), L, curve).astype(jnp.int32)
 
     # ---- table lookup: cell -> particle interval --------------------------
-    tstart = (keys >> dt.type(3 * (L - int(table_level)))).astype(jnp.int32)
     # cell spans 8^(table_level - lvl) table slots; aligned by construction
     tlen = jnp.int32(1) << (jnp.int32(3) * (jnp.int32(table_level) - lvl))
     tstart = tstart & ~(tlen[:, None] - 1)  # corner key low bits are zero anyway

@@ -70,3 +70,42 @@ def test_inject_keys():
     d = np.diff(out)
     assert (d > 0).all() and ((d & (d - 1)) == 0).all()
     assert (0o1234 << 18) in out.tolist()
+
+
+def test_focus_update_injects_on_failed_resolution():
+    """A mandatory key several levels below its containing leaf makes
+    enforce_keys report FAILED (it can only split one level per round);
+    focus_update_once must then splice the full spanning cover so the key
+    is a node boundary after ONE update (octree_focus.hpp:83-215 forced
+    injection + inject.hpp:52-111)."""
+    from cstone_tpu.focus.octree_focus import focus_update_once
+    from cstone_tpu.tree.octree import build_linked_octree
+
+    end = np.uint64(1) << np.uint64(63)
+    cap = 256
+    leaves = np.full(cap + 1, end, dtype=np.uint64)
+    leaves[0] = 0
+    linked = build_linked_octree(jnp.asarray(leaves), jnp.int32(1))
+
+    # a level-6 key: 6 > 1 level below the root leaf -> FAILED resolution
+    key = np.uint64(0o1234561) << np.uint64(63 - 21)
+    mandatory = jnp.asarray([key], dtype=jnp.uint64)
+
+    cap_nodes = linked.prefixes.shape[0]
+    zero_counts = jnp.zeros((cap_nodes,), jnp.uint32)  # no count splits
+    zero_macs = jnp.zeros((cap_nodes,), jnp.int32)  # no MAC splits
+
+    new_leaves, new_n, converged = focus_update_once(
+        linked, zero_counts, zero_macs,
+        jnp.uint64(0), jnp.uint64(0),  # empty focus range
+        mandatory, bucket_size_focus=64,
+    )
+    n = int(new_n)
+    out = np.asarray(new_leaves[: n + 1]).astype(np.uint64)
+    assert int(key) in out.tolist()
+    assert out[0] == 0 and out[-1] == int(end)
+    d = np.diff(out)
+    assert (d > 0).all()
+    # every span is a power of 8 (valid cornerstone tree)
+    lv = np.log2(d.astype(np.float64))
+    assert np.allclose(lv % 3, 0)

@@ -80,3 +80,25 @@ def test_make_prefix():
     # key starting a level-1 node -> 3-bit prefix with placeholder
     k = jnp.uint32(0o2000000000)
     assert int(make_prefix(k)) == 0b1010
+
+
+def test_isfc_key_top_matches_full_encode():
+    """isfc_key_top must equal the full-depth encode's top bits for both
+    curves and both key widths (it runs only the first `levels` rounds)."""
+    import jax.numpy as jnp
+
+    from cstone_tpu.sfc.encode import HILBERT, MORTON, isfc_key, isfc_key_top
+    from cstone_tpu.sfc.keys import max_tree_level
+
+    rng = np.random.RandomState(7)
+    for dt in (np.uint32, np.uint64):
+        L = max_tree_level(np.dtype(dt))
+        n = 512
+        c = rng.randint(0, 1 << L, size=(3, n)).astype(np.uint32)
+        ix, iy, iz = (jnp.asarray(a) for a in c)
+        for curve in (HILBERT, MORTON):
+            full = np.asarray(isfc_key(ix, iy, iz, dt, curve)).astype(np.uint64)
+            for levels in (3, 6, min(10, L)):
+                top = np.asarray(isfc_key_top(ix, iy, iz, levels, L, curve))
+                expect = (full >> np.uint64(3 * (L - levels))).astype(np.uint32)
+                np.testing.assert_array_equal(top, expect, err_msg=f"{dt} {curve} {levels}")
