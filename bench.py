@@ -37,11 +37,114 @@ from cstone_tpu.domain.layout import leaf_layout_from_counts
 from cstone_tpu.sfc import PERIODIC, compute_sfc_keys, make_box
 from cstone_tpu.traversal.boxoverlap import min_distance_boxes
 from cstone_tpu.ops.pallas_neighbors_v2 import merge_leaf_runs, pairwise_count_runs
+from cstone_tpu.traversal.celllist import cell_list_neighbor_counts, choose_cell_level
 from cstone_tpu.traversal.cover import build_cell_table, group_cover_runs
 from cstone_tpu.traversal.neighbors import OctreeNsView, make_ns_view
 from cstone_tpu.traversal.traversal import batched_collect_leaves, batched_collect_leaves_bfs
 from cstone_tpu.tree.csarray import MAX_UINT32, _compute_octree_jit
 from cstone_tpu.tree.octree import build_linked_octree
+
+
+def main_sync():
+    """Full single-chip Domain.sync + findNeighbors steady-state throughput.
+
+    The honest headline: every step runs the complete sync pipeline —
+    global box, key encode, sort, global-tree update, assignment, particle
+    exchange bookkeeping, focus (LET) convergence, per-leaf radii, halo
+    discovery, layout, buffer fill — then fixed-radius neighbor counts via
+    the cell-list stencil (mirrors the reference's usage loop,
+    README.md:60-100, and perf drivers octree.cpp:107-136 +
+    neighbor_driver.cu:175-195). Particles drift each step by ~20% of the
+    mean interparticle spacing so the warm-started tree/focus fixed points
+    do real incremental work, like a real simulation timestep.
+    """
+    from cstone_tpu.domain.domain import Domain
+
+    n = int(os.environ.get("BENCH_N", 1_000_000))
+    bucket = int(os.environ.get("BENCH_BUCKET", 64))
+    focus_bucket = int(os.environ.get("BENCH_FOCUS_BUCKET", 64))
+    h_val = float(os.environ.get("BENCH_H", 0.012))
+    reps = int(os.environ.get("BENCH_REPS", 5))
+    cell_cap = int(os.environ.get("BENCH_CELL_CAP", 80))
+
+    rng = np.random.RandomState(42)
+    pos = rng.uniform(0.0, 1.0, size=(n, 3)).astype(np.float32)
+    box = make_box(0.0, 1.0, boundaries=PERIODIC)
+    spacing = (1.0 / n) ** (1.0 / 3.0)
+    drift = jnp.asarray(
+        rng.uniform(-0.2, 0.2, size=(n, 3)).astype(np.float32) * spacing
+    )
+    x = jnp.asarray(pos[:, 0])
+    y = jnp.asarray(pos[:, 1])
+    z = jnp.asarray(pos[:, 2])
+    hj = jnp.full((n,), np.float32(h_val))
+
+    tree_capacity = max(4096, int(3.2 * n / bucket) // 1024 * 1024 + 4096)
+    domain = Domain(
+        rank=0, n_ranks=1, bucket_size=bucket, bucket_size_focus=focus_bucket,
+        key_dtype=jnp.uint64, tree_capacity=tree_capacity,
+        focus_capacity=tree_capacity,
+    )
+    state = domain.init_state(box=box, boundaries=(1, 1, 1))
+    cell_level = int(os.environ.get("BENCH_CELL_LEVEL", 0)) or choose_cell_level(
+        box, h_val
+    )
+
+    @jax.jit
+    def s_sync(state, x, y, z, h):
+        return domain.sync(state, x, y, z, h)
+
+    @jax.jit
+    def s_count(res):
+        return cell_list_neighbor_counts(
+            res.keys, res.x, res.y, res.z, res.h, box, cell_level, cell_cap,
+            n_valid=res.end_index,
+        )
+
+    @jax.jit
+    def s_drift(x, y, z):
+        nx = (x + drift[:, 0]) % 1.0
+        ny = (y + drift[:, 1]) % 1.0
+        nz = (z + drift[:, 2]) % 1.0
+        return nx, ny, nz
+
+    def step(state, x, y, z):
+        state, res = s_sync(state, x, y, z, hj)
+        counts, cell_ovf = s_count(res)
+        ovf = jnp.maximum(res.overflow, cell_ovf.astype(jnp.int32))
+        return state, res, counts, ovf
+
+    t0 = time.time()
+    state, res, counts, ovf = step(state, x, y, z)
+    assert int(np.asarray(ovf)) == 0, f"overflow: {int(np.asarray(ovf))}"
+    compile_time = time.time() - t0
+
+    times = []
+    for _ in range(reps):
+        x, y, z = s_drift(x, y, z)
+        t0 = time.time()
+        state, res, counts, ovf = step(state, x, y, z)
+        ovf_h = int(np.asarray(ovf))  # host readback forces completion
+        times.append(time.time() - t0)
+        assert ovf_h == 0, f"overflow: {ovf_h}"
+    best = min(times)
+
+    n_owned = int(np.asarray(res.end_index - res.start_index))
+    mean_nb = float(np.asarray(counts)[:n_owned].mean())
+    pps = n / best
+    baseline = 1e8
+    print(json.dumps({
+        "metric": "sync_findneighbors_throughput",
+        "value": round(pps, 1),
+        "unit": "particles/sec/chip",
+        "vs_baseline": round(pps / baseline, 4),
+    }))
+    print(
+        f"n={n} best={best:.4f}s times={['%.3f' % t for t in times]} "
+        f"compile={compile_time:.1f}s mode=sync level={cell_level} "
+        f"mean_nb={mean_nb:.1f}",
+        file=sys.stderr,
+    )
 
 
 def main():
@@ -99,6 +202,15 @@ def main():
         return gx, gy, gz, gh, gvalid, gc, gs, gr
 
     trav_mode = os.environ.get("BENCH_TRAV", "cover")
+    cell_level = int(os.environ.get("BENCH_CELL_LEVEL", 0)) or choose_cell_level(
+        box, h_val
+    )
+    cell_cap = int(os.environ.get("BENCH_CELL_CAP", 80))
+    s_cell = jax.jit(
+        lambda k, xs, ys, zs, hs: cell_list_neighbor_counts(
+            k, xs, ys, zs, hs, box, cell_level, cell_cap
+        )
+    )
     frontier_cap = int(os.environ.get("BENCH_FRONTIER_CAP", 256))
     table_level = int(os.environ.get("BENCH_TABLE_LEVEL", 6))
     cells_per_dim = int(os.environ.get("BENCH_CELLS_PER_DIM", 8))
@@ -220,6 +332,9 @@ def main():
         keys = s_encode(x, y, z)
         keys, xs, ys, zs, hs = s_sort(keys, x, y, z, hj)
         tree = s_tree(keys)
+        if trav_mode == "cell":
+            counts, cell_ovf = s_cell(keys, xs, ys, zs, hs)
+            return counts, tree.n_nodes, cell_ovf.astype(jnp.int32), jnp.int32(0)
         gx, gy, gz, gh, gvalid, gc, gs, gr = s_groups(xs, ys, zs, hs)
         if trav_mode == "cover":
             table = s_table(keys)
@@ -290,7 +405,11 @@ def main():
             ("tree", lambda: s_tree(keys_s)),
             ("groups", lambda: s_groups(xs, ys, zs, hs)),
         ]
-        if trav_mode == "cover":
+        if trav_mode == "cell":
+            stages += [
+                ("cell", lambda: s_cell(keys_s, xs, ys, zs, hs)),
+            ]
+        elif trav_mode == "cover":
             table = force(s_table(keys_s))
             cov = force(s_cover(table, gc, gs, gr))
             run_start, run_len = cov[0], cov[1]
@@ -363,4 +482,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODE", "fn") == "sync":
+        main_sync()
+    else:
+        main()

@@ -873,6 +873,20 @@ class Domain:
         return pool[result.global_ids]
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def compact_owned(result: SyncResult, field: jax.Array) -> jax.Array:
+        """Move the owned range [start_index, end_index) to the front.
+
+        The output is the correct per-rank input for the NEXT sync call
+        (with n_local = end_index - start_index): feeding layout-order
+        buffers back with their halo slots would double-count halo
+        particles as locally owned. The reference keeps explicit
+        start/end indices instead (domain.hpp:389-409); on TPU a dynamic
+        roll keeps the shape static.
+        """
+        return jnp.roll(field, -result.start_index, axis=0)
+
+    # ------------------------------------------------------------------
     def ns_view(self, result: SyncResult, box: Box) -> OctreeNsView:
         """Neighbor-search view over the local buffers (domain.hpp:425-437)."""
         return make_ns_view(

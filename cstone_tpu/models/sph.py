@@ -92,8 +92,12 @@ def sph_density_step(
         jnp.sum(w, axis=-1) + m_new * _cubic_spline_w(jnp.zeros_like(res.h))
     )
 
+    # carry only the OWNED particles into the next step (halos are
+    # rediscovered each sync; keeping them as locals would double count)
+    co = domain.compact_owned
     new_state = SphState(
-        domain=dstate, x=res.x, y=res.y, z=res.z, h=res.h, m=m_new,
-        n_local=res.n_with_halos,
+        domain=dstate, x=co(res, res.x), y=co(res, res.y), z=co(res, res.z),
+        h=co(res, res.h), m=co(res, m_new),
+        n_local=res.end_index - res.start_index,
     )
     return new_state, rho, res

@@ -1,0 +1,278 @@
+"""Dense cell-list neighbor search: ELL-packed grid bins + 27-point stencil.
+
+TPU-first fast path for fixed-radius neighbor search, replacing per-group
+tree/grid traversal with fully regular dataflow (reference semantics:
+findneighbors.hpp:96-165 and traversal/find_neighbors.cuh:200-343 — same
+neighbor definition, different algorithm). Exploits three structural
+facts:
+
+  1. at grid level ``level`` with cell side >= 2*h_max, every neighbor of
+     a particle lies in the particle's own or the 26 adjacent cells;
+  2. SFC-sorted particles are contiguous per grid cell, so binning is a
+     row-gather, not a scatter;
+  3. packing the bins in ROW-MAJOR grid order makes "adjacent cell" a
+     constant array shift: the whole 27-cell stencil becomes jnp.roll
+     slices — zero gathers and zero irregular control flow in the hot
+     loop, which XLA fuses into dense VPU work.
+
+Periodic boundaries are handled by adding +-L to the rolled-in candidate
+coordinates (the roll IS the wrap); open/fixed boundaries mask the
+rolled-in rows instead. Self-pairs are excluded by slot identity in the
+(0,0,0) pass, matching the reference's i != j rule — coincident points
+still count each other.
+
+The ELL capacity ``cap`` bounds per-cell occupancy; cells with more
+particles raise the overflow flag and the caller retries with a larger
+cap (reference analog: util/reallocate.hpp growth loops).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..sfc.box import Box
+from ..sfc.encode import HILBERT
+from ..sfc.keys import max_tree_level
+from .cover import build_cell_table
+
+__all__ = [
+    "choose_cell_level",
+    "rowmajor_cell_perm",
+    "ell_pack",
+    "stencil_neighbor_counts",
+    "cell_list_neighbor_counts",
+]
+
+
+def choose_cell_level(box: Box, h_max: float, ext: float = 1.0, max_level: int = 7) -> int:
+    """Coarsest grid level whose cell side >= 2*h_max*ext on every dim.
+
+    Returns at least 2 (a 4^3 grid) — the stencil needs >= 3 distinct
+    cells per periodic dim to be correct, and level 2 keeps the wrap
+    images unique. Callers should fall back to a dense path when the
+    search radius is too large for level 2 (i.e. when 2*h_max*ext >
+    min_side/4).
+    """
+    min_side = float(np.min(np.asarray(box.lengths)))
+    r = 2.0 * float(h_max) * float(ext)
+    if r <= 0.0:
+        return max_level
+    level = int(np.floor(np.log2(min_side / r))) if r < min_side else 0
+    return max(2, min(max_level, level))
+
+
+def _np_hilbert_cell(ix, iy, iz, level: int) -> np.ndarray:
+    """Pure-NumPy Hilbert cell index at `level` from level-resolution grid
+    coords — same per-round math as sfc/hilbert.py::ihilbert (reference:
+    hilbert.hpp:58-109). NumPy (not jnp) so it stays concrete inside jit
+    traces; only ever run for 8^level <= 2^21 cells, once per level."""
+    px = ix.astype(np.uint32)
+    py = iy.astype(np.uint32)
+    pz = iz.astype(np.uint32)
+    key = np.zeros(px.shape, np.uint32)
+    for i in range(level):
+        lv = np.uint32(level - 1 - i)
+        xi = (px >> lv) & 1
+        yi = (py >> lv) & 1
+        zi = (pz >> lv) & 1
+        octant = (xi << 2) | (yi << 1) | zi
+        key = (key << np.uint32(3)) + ((octant ^ (octant >> 1)) ^ (octant >> 2))
+        not_yi = yi ^ 1
+        not_zi = zi ^ 1
+        mx = xi & (not_yi | zi)
+        my = (xi & (yi | zi)) | (yi & not_zi)
+        mz = (xi & not_yi & not_zi) | (yi & not_zi)
+        px = px ^ (np.uint32(0) - mx)
+        py = py ^ (np.uint32(0) - my)
+        pz = pz ^ (np.uint32(0) - mz)
+        rot = zi == 1
+        swp = (zi == 0) & (yi == 0)
+        npx = np.where(rot, py, np.where(swp, pz, px))
+        npy = np.where(rot, pz, py)
+        npz = np.where(rot, px, np.where(swp, px, pz))
+        px, py, pz = npx, npy, npz
+    return key
+
+
+def _np_morton_cell(ix, iy, iz, level: int) -> np.ndarray:
+    out = np.zeros(ix.shape, np.uint32)
+    for b in range(level):
+        out |= ((ix >> b) & 1).astype(np.uint32) << np.uint32(3 * b + 2)
+        out |= ((iy >> b) & 1).astype(np.uint32) << np.uint32(3 * b + 1)
+        out |= ((iz >> b) & 1).astype(np.uint32) << np.uint32(3 * b)
+    return out
+
+
+@lru_cache(maxsize=32)
+def _rowmajor_cell_perm_np(level: int, curve: str) -> Tuple[np.ndarray, np.ndarray]:
+    """(perm, inv_perm): perm[r] = SFC cell index of row-major cell r.
+
+    Static per (level, curve) — computed once in NumPy and cached; the
+    stencil path then never encodes keys for cells at runtime.
+    """
+    d = 1 << level
+    ij = np.arange(d, dtype=np.uint32)
+    ix, iy, iz = np.meshgrid(ij, ij, ij, indexing="ij")
+    enc = _np_hilbert_cell if curve == HILBERT else _np_morton_cell
+    perm = enc(ix.ravel(), iy.ravel(), iz.ravel(), level).astype(np.int32)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.shape[0], dtype=np.int32)
+    return perm, inv
+
+
+def rowmajor_cell_perm(level: int, curve: str = HILBERT) -> Tuple[jax.Array, jax.Array]:
+    perm, inv = _rowmajor_cell_perm_np(int(level), curve)
+    return jnp.asarray(perm), jnp.asarray(inv)
+
+
+def ell_pack(
+    offsets: jax.Array,  # (n_cells+1,) from build_cell_table (SFC cell order)
+    perm: jax.Array,  # (n_cells,) row-major -> SFC cell index
+    arrays: Tuple[jax.Array, ...],  # (n,) sorted particle fields
+    cap: int,
+) -> Tuple[Tuple[jax.Array, ...], jax.Array, jax.Array]:
+    """Pack per-cell particle runs into (n_cells, cap) ELL rows in
+    row-major cell order. Returns (packed arrays, valid mask, overflow).
+    """
+    n = arrays[0].shape[0]
+    starts = offsets[perm]  # (n_cells,)
+    counts = offsets[perm + 1] - starts
+    j = jnp.arange(cap, dtype=jnp.int32)
+    idx = starts[:, None] + j[None, :]
+    valid = j[None, :] < counts[:, None]
+    idx = jnp.where(valid, idx, 0)
+    packed = tuple(a[idx] for a in arrays)
+    overflow = jnp.max(counts) > cap
+    return packed, valid, overflow
+
+
+def _roll3(a: jax.Array, dx: int, dy: int, dz: int) -> jax.Array:
+    """a is (D, D, D, ...); rolled so cell (i,j,k) sees (i+dx, j+dy, k+dz)."""
+    if dx:
+        a = jnp.roll(a, -dx, axis=0)
+    if dy:
+        a = jnp.roll(a, -dy, axis=1)
+    if dz:
+        a = jnp.roll(a, -dz, axis=2)
+    return a
+
+
+def stencil_neighbor_counts(
+    px: jax.Array,  # (n_cells, cap) ELL coords, row-major cell order
+    py: jax.Array,
+    pz: jax.Array,
+    r2: jax.Array,  # (n_cells, cap) squared search radii (2h)^2; <0 if invalid
+    valid: jax.Array,  # (n_cells, cap) occupancy mask
+    box: Box,
+    level: int,
+) -> jax.Array:
+    """(n_cells, cap) neighbor counts via the 27-point roll stencil."""
+    D = 1 << int(level)
+    cap = px.shape[1]
+    shp = (D, D, D, cap)
+    ex, ey, ez = (a.reshape(shp) for a in (px, py, pz))
+    ev = valid.reshape(shp)
+    er2 = r2.reshape(shp)
+
+    L = box.lengths.astype(jnp.float32)  # (3,); may be traced inside jit
+    periodic = [int(b) == 1 for b in box.boundaries]
+    idx = jnp.arange(D, dtype=jnp.int32)
+
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    counts = jnp.zeros(shp, dtype=jnp.int32)
+
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                cx = _roll3(ex, dx, dy, dz)
+                cy = _roll3(ey, dx, dy, dz)
+                cz = _roll3(ez, dx, dy, dz)
+                cv = _roll3(ev, dx, dy, dz)
+                # wrap correction / edge masking per axis
+                for axis, d, cc, Ld in ((0, dx, "x", L[0]), (1, dy, "y", L[1]), (2, dz, "z", L[2])):
+                    if d == 0:
+                        continue
+                    over = (idx + d) // D  # -1, 0, or +1 at the edges
+                    bshape = [1, 1, 1, 1]
+                    bshape[axis] = D
+                    over_b = over.reshape(bshape)
+                    if periodic[axis]:
+                        corr = over_b.astype(jnp.float32) * Ld
+                        if cc == "x":
+                            cx = cx + corr
+                        elif cc == "y":
+                            cy = cy + corr
+                        else:
+                            cz = cz + corr
+                    else:
+                        cv = cv & (over_b == 0)
+                ddx = ex[..., :, None] - cx[..., None, :]
+                ddy = ey[..., :, None] - cy[..., None, :]
+                ddz = ez[..., :, None] - cz[..., None, :]
+                d2 = ddx * ddx + ddy * ddy + ddz * ddz
+                w = (d2 < er2[..., :, None]) & cv[..., None, :] & ev[..., :, None]
+                if dx == 0 and dy == 0 and dz == 0:
+                    w = w & (slot[:, None] != slot[None, :])
+                counts = counts + jnp.sum(w, axis=-1, dtype=jnp.int32)
+
+    return counts.reshape(-1, cap)
+
+
+def cell_list_neighbor_counts(
+    keys_sorted: jax.Array,  # (n,) SFC-sorted particle keys
+    xs: jax.Array,  # (n,) coords in the same (sorted) order
+    ys: jax.Array,
+    zs: jax.Array,
+    hs: jax.Array,  # (n,) interaction radii; neighbor iff d2 < (2h_i)^2
+    box: Box,
+    level: int,
+    cap: int,
+    curve: str = HILBERT,
+    n_valid=None,
+    impl: str = "xla",
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """(n,) neighbor counts in sorted particle order + overflow flag.
+
+    Exact fixed-radius neighbor counts (reference findneighbors.hpp:96-165
+    semantics) provided the grid cell side at `level` is >= 2*max(hs):
+    use choose_cell_level. Overflow=True means some cell held more than
+    `cap` particles and the result is invalid — retry with a larger cap.
+    impl="pallas" uses the TPU kernel (ops/pallas_stencil.py; requires a
+    lane-alignable cap, e.g. 64), impl="xla" the portable roll stencil.
+    """
+    n = keys_sorted.shape[0]
+    dt = keys_sorted.dtype
+    lmax = max_tree_level(np.dtype(dt))
+    offsets = build_cell_table(keys_sorted, int(level), n_valid=n_valid)
+    perm, inv = rowmajor_cell_perm(int(level), curve)
+
+    (px, py, pz, ph), valid, overflow = ell_pack(
+        offsets, perm, (xs, ys, zs, hs), cap
+    )
+    r2 = jnp.where(valid, (2.0 * ph) ** 2, jnp.float32(-1.0))
+    if impl == "pallas":
+        from ..ops.pallas_stencil import stencil_counts_pallas
+
+        periodic = tuple(int(b) == 1 for b in box.boundaries)
+        counts_ell = stencil_counts_pallas(
+            px, py, pz, r2, valid, box.lengths, periodic, int(level),
+            interpret=interpret,
+        )
+    else:
+        counts_ell = stencil_neighbor_counts(px, py, pz, r2, valid, box, int(level))
+
+    # back to particle order: particle p sits in SFC cell c at slot
+    # p - offsets[c]; its ELL row is inv[c]
+    shift = dt.type(3 * (lmax - int(level)))
+    n_cells = 1 << (3 * int(level))
+    cell = jnp.minimum((keys_sorted >> shift).astype(jnp.int32), jnp.int32(n_cells - 1))
+    slot = jnp.arange(n, dtype=jnp.int32) - offsets[cell]
+    slot = jnp.clip(slot, 0, cap - 1)
+    counts = counts_ell[inv[cell], slot].astype(jnp.uint32)
+    return counts, overflow

@@ -1,0 +1,96 @@
+"""Cell-list (ELL + 27-point roll stencil) neighbor counts vs the O(n^2)
+oracle — same semantics contract as test_neighbors.py (reference:
+test/unit/neighbors/all_to_all.hpp)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cstone_tpu.sfc import make_box, PERIODIC
+from cstone_tpu.sfc.keys import max_tree_level
+from cstone_tpu.traversal.celllist import (
+    cell_list_neighbor_counts,
+    choose_cell_level,
+)
+from tests.test_neighbors import _setup, brute_force_counts
+
+
+def _tight_cap(keys, level):
+    k = np.asarray(keys)
+    shift = 3 * (max_tree_level(k.dtype) - level)
+    occ = np.bincount((k >> shift).astype(np.int64))
+    return int(-(-int(occ.max()) // 8) * 8)
+
+
+@pytest.mark.parametrize("periodic", [False, True])
+@pytest.mark.parametrize("gauss", [False, True])
+def test_celllist_counts_vs_bruteforce(periodic, gauss):
+    n = 2000
+    x, y, z, h, keys, box = _setup(n, periodic, gauss=gauss)
+
+    level = choose_cell_level(box, float(h.max()))
+    counts, overflow = cell_list_neighbor_counts(
+        keys, jnp.asarray(x), jnp.asarray(y), jnp.asarray(z), jnp.asarray(h),
+        box, level, cap=_tight_cap(keys, level),
+    )
+    assert not bool(overflow)
+
+    expected, _, _ = brute_force_counts(x, y, z, h, (-1, 1, -1, 1, -1, 1), periodic)
+    np.testing.assert_array_equal(np.asarray(counts), expected)
+
+
+def test_celllist_overflow_flag():
+    x, y, z, h, keys, box = _setup(500, periodic=False)
+    level = choose_cell_level(box, float(h.max()))
+    _, overflow = cell_list_neighbor_counts(
+        keys, jnp.asarray(x), jnp.asarray(y), jnp.asarray(z), jnp.asarray(h),
+        box, level, cap=2,
+    )
+    assert bool(overflow)
+
+
+def test_celllist_uniform_h_finer_level():
+    # uniform small h -> deeper grid; counts must still be exact
+    n = 4000
+    x, y, z, h, keys, box = _setup(n, periodic=True, hval=0.05)
+    level = choose_cell_level(box, 0.05)
+    assert level >= 3
+    counts, overflow = cell_list_neighbor_counts(
+        keys, jnp.asarray(x), jnp.asarray(y), jnp.asarray(z), jnp.asarray(h),
+        box, level, cap=_tight_cap(keys, level),
+    )
+    assert not bool(overflow)
+    expected, _, _ = brute_force_counts(x, y, z, h, (-1, 1, -1, 1, -1, 1), True)
+    np.testing.assert_array_equal(np.asarray(counts), expected)
+
+
+def test_rowmajor_perm_matches_jax_encode():
+    # the pure-NumPy cell encode must agree with the library's jax encode
+    from cstone_tpu.sfc.encode import isfc_key_top
+    from cstone_tpu.traversal.celllist import _rowmajor_cell_perm_np
+
+    level = 3
+    d = 1 << level
+    ij = np.arange(d, dtype=np.uint32)
+    ix, iy, iz = np.meshgrid(ij, ij, ij, indexing="ij")
+    lmax = max_tree_level(np.dtype(np.uint32))
+    ls = np.uint32(lmax - level)
+    for curve in ("hilbert", "morton"):
+        perm, inv = _rowmajor_cell_perm_np(level, curve)
+        ref = np.asarray(
+            isfc_key_top(
+                jnp.asarray(ix.ravel() << ls),
+                jnp.asarray(iy.ravel() << ls),
+                jnp.asarray(iz.ravel() << ls),
+                level, lmax, curve,
+            )
+        ).astype(np.int32)
+        np.testing.assert_array_equal(perm, ref)
+        np.testing.assert_array_equal(perm[inv], np.arange(d**3))
+
+
+def test_choose_cell_level_bounds():
+    box = make_box(0.0, 1.0, boundaries=PERIODIC)
+    assert choose_cell_level(box, 0.012) == 5
+    assert choose_cell_level(box, 0.3) == 2  # clamped floor
+    assert choose_cell_level(box, 1e-9) == 7  # clamped ceiling
