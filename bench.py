@@ -41,7 +41,11 @@ from cstone_tpu.traversal.celllist import cell_list_neighbor_counts, choose_cell
 from cstone_tpu.traversal.cover import build_cell_table, group_cover_runs
 from cstone_tpu.traversal.neighbors import OctreeNsView, make_ns_view
 from cstone_tpu.traversal.traversal import batched_collect_leaves, batched_collect_leaves_bfs
-from cstone_tpu.tree.csarray import MAX_UINT32, _compute_octree_jit
+from cstone_tpu.tree.csarray import (
+    MAX_UINT32,
+    _compute_octree_jit,
+    default_init_level,
+)
 from cstone_tpu.tree.octree import build_linked_octree
 
 
@@ -174,8 +178,11 @@ def main():
     s_sort = jax.jit(
         lambda k, x, y, z, h: jax.lax.sort((k, x, y, z, h), num_keys=1, is_stable=False)
     )
+    init_level = default_init_level(n, bucket, capacity)
     s_tree = jax.jit(
-        lambda k: _compute_octree_jit(k, bucket, capacity, MAX_UINT32, None)
+        lambda k: _compute_octree_jit(
+            k, bucket, capacity, MAX_UINT32, None, init_level
+        )
     )
     s_linked = jax.jit(lambda t: build_linked_octree(t.keys, t.n_nodes))
     s_layout = jax.jit(lambda t: leaf_layout_from_counts(t.counts))
@@ -206,9 +213,10 @@ def main():
         box, h_val
     )
     cell_cap = int(os.environ.get("BENCH_CELL_CAP", 80))
+    cell_impl = os.environ.get("BENCH_CELL_IMPL", "xla")
     s_cell = jax.jit(
         lambda k, xs, ys, zs, hs: cell_list_neighbor_counts(
-            k, xs, ys, zs, hs, box, cell_level, cell_cap
+            k, xs, ys, zs, hs, box, cell_level, cell_cap, impl=cell_impl
         )
     )
     frontier_cap = int(os.environ.get("BENCH_FRONTIER_CAP", 256))

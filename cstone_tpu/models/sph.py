@@ -66,10 +66,23 @@ def sph_density_step(
 
     view = domain.ns_view(res, box)
     cap = res.x.shape[0]
-    counts, nbs, _stats = _find_neighbors_impl(
+    counts, nbs, stats = _find_neighbors_impl(
         res.x, res.y, res.z, res.h, view, box,
         ng_max=ng_max, group_size=group_size, cand_leaf_cap=cand_leaf_cap,
         cand_cap=cand_cap, chunk=chunk, with_indices=True, n_targets=cap,
+    )
+    # fold neighbor-stage capacity overflows into the result flag so a
+    # too-small cand_cap/ng_max can never silently drop neighbors
+    # (reallocate.hpp:38-107 semantics: the caller grows and retries)
+    ns_overflow = (
+        (stats.cand_max > cand_cap)
+        | (stats.leaf_max > cand_leaf_cap)
+        | (jnp.max(counts) > ng_max)
+    )
+    import dataclasses
+
+    res = dataclasses.replace(
+        res, overflow=jnp.maximum(res.overflow, ns_overflow.astype(jnp.int32))
     )
     nb_valid = nbs >= 0
     nb = jnp.maximum(nbs, 0)

@@ -225,9 +225,34 @@ def update_octree(
     return CsArray(keys=new_keys, counts=new_counts, n_nodes=new_n), converged
 
 
-@partial(jax.jit, static_argnames=("bucket_size", "capacity"))
-def _compute_octree_jit(codes, bucket_size, capacity, max_count, n_codes):
-    tree0 = root_tree(codes.dtype, capacity, n_particles=codes.shape[0])
+def uniform_tree(key_dtype, level: int, capacity: int) -> CsArray:
+    """The complete uniform tree at `level` (8^level leaves).
+
+    Used as a warm start for compute_octree: starting the fixed point at
+    the expected depth instead of the root saves ~level rebalance+count
+    iterations (each one costs a full searchsorted over the particles).
+    The fixed point is unchanged — mergers coarsen overpopulated guesses
+    exactly as splits refine underpopulated ones (csarray.hpp:285-348).
+    """
+    dt = np.dtype(key_dtype)
+    n_nodes = 1 << (3 * level)
+    assert n_nodes <= capacity, "uniform level exceeds capacity"
+    lmax = max_tree_level(dt)
+    shift = dt.type(3 * (lmax - level))
+    end = dt.type(np.uint64(1) << np.uint64(3 * lmax))
+    idx = jnp.arange(capacity + 1, dtype=dt)
+    keys = jnp.where(idx <= n_nodes, idx << shift, end)
+    counts = jnp.zeros((capacity,), dtype=jnp.uint32)
+    return CsArray(keys=keys, counts=counts, n_nodes=jnp.int32(n_nodes))
+
+
+@partial(jax.jit, static_argnames=("bucket_size", "capacity", "init_level"))
+def _compute_octree_jit(codes, bucket_size, capacity, max_count, n_codes,
+                        init_level=0):
+    if init_level > 0:
+        tree0 = uniform_tree(codes.dtype, init_level, capacity)
+    else:
+        tree0 = root_tree(codes.dtype, capacity, n_particles=codes.shape[0])
     counts0 = compute_node_counts(tree0.keys, codes, max_count, n_codes)
     tree0 = CsArray(keys=tree0.keys, counts=counts0, n_nodes=tree0.n_nodes)
 
@@ -245,12 +270,23 @@ def _compute_octree_jit(codes, bucket_size, capacity, max_count, n_codes):
     return tree
 
 
+def default_init_level(n_particles: int, bucket_size: int, capacity: int) -> int:
+    """Warm-start level for compute_octree: the uniform depth closest to
+    n/bucket leaves, bounded so the uniform tree fits the capacity."""
+    target = max(1, n_particles // max(1, bucket_size))
+    level = max(0, int(np.floor(np.log(target) / np.log(8.0))))
+    while (1 << (3 * level)) > capacity:
+        level -= 1
+    return max(0, level)
+
+
 def compute_octree(
     codes: jax.Array,
     bucket_size: int,
     capacity: int | None = None,
     max_count=MAX_UINT32,
     n_codes=None,
+    init_level: int | None = None,
 ) -> CsArray:
     """Fully converged cornerstone tree from sorted particle keys
     (csarray.hpp:450-465).
@@ -261,7 +297,13 @@ def compute_octree(
     if capacity is None:
         n = int(codes.shape[0]) if n_codes is None else int(n_codes)
         capacity = _default_capacity(n, bucket_size)
-    tree = _compute_octree_jit(codes, int(bucket_size), int(capacity), max_count, n_codes)
+    if init_level is None:
+        n = int(codes.shape[0]) if n_codes is None else int(n_codes)
+        init_level = default_init_level(n, int(bucket_size), int(capacity))
+    tree = _compute_octree_jit(
+        codes, int(bucket_size), int(capacity), max_count, n_codes,
+        int(init_level),
+    )
     if int(tree.n_nodes) > capacity:
         raise RuntimeError(
             f"octree capacity {capacity} exhausted (n_nodes={int(tree.n_nodes)}); "

@@ -64,6 +64,28 @@ def test_celllist_uniform_h_finer_level():
     np.testing.assert_array_equal(np.asarray(counts), expected)
 
 
+@pytest.mark.parametrize("periodic", [False, True])
+def test_pallas_stencil_matches_xla(periodic):
+    # the Pallas kernel (interpret mode on CPU) must agree with the XLA
+    # roll stencil, which is oracle-verified above
+    n = 1500
+    x, y, z, h, keys, box = _setup(n, periodic, seed=77)
+    level = 2  # D=4 grid; cap=64 -> z-block of 2 cells (128 lanes)
+    cap = max(64, _tight_cap(keys, level))
+    cap = -(-cap // 64) * 64
+    counts_xla, ovf = cell_list_neighbor_counts(
+        keys, jnp.asarray(x), jnp.asarray(y), jnp.asarray(z), jnp.asarray(h),
+        box, level, cap=cap, impl="xla",
+    )
+    assert not bool(ovf)
+    counts_pl, ovf2 = cell_list_neighbor_counts(
+        keys, jnp.asarray(x), jnp.asarray(y), jnp.asarray(z), jnp.asarray(h),
+        box, level, cap=cap, impl="pallas", interpret=True,
+    )
+    assert not bool(ovf2)
+    np.testing.assert_array_equal(np.asarray(counts_pl), np.asarray(counts_xla))
+
+
 def test_rowmajor_perm_matches_jax_encode():
     # the pure-NumPy cell encode must agree with the library's jax encode
     from cstone_tpu.sfc.encode import isfc_key_top
