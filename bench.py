@@ -208,17 +208,41 @@ def main():
         gr = 2.0 * jnp.max(jnp.where(gvalid, gh, 0.0), 1)
         return gx, gy, gz, gh, gvalid, gc, gs, gr
 
-    trav_mode = os.environ.get("BENCH_TRAV", "cover")
+    trav_mode = os.environ.get("BENCH_TRAV", "cell")
     cell_level = int(os.environ.get("BENCH_CELL_LEVEL", 0)) or choose_cell_level(
         box, h_val
     )
-    cell_cap = int(os.environ.get("BENCH_CELL_CAP", 80))
-    cell_impl = os.environ.get("BENCH_CELL_IMPL", "xla")
+    cell_cap = int(os.environ.get("BENCH_CELL_CAP", 64))
+    cell_impl = os.environ.get(
+        "BENCH_CELL_IMPL",
+        "pallas" if jax.default_backend() not in ("cpu",) else "xla",
+    )
     s_cell = jax.jit(
-        lambda k, xs, ys, zs, hs: cell_list_neighbor_counts(
-            k, xs, ys, zs, hs, box, cell_level, cell_cap, impl=cell_impl
+        lambda k, xs, ys, zs, hs, offs: cell_list_neighbor_counts(
+            k, xs, ys, zs, hs, box, cell_level, cell_cap, impl=cell_impl,
+            offsets=offs,
         )
     )
+
+    @jax.jit
+    def s_front(x, y, z, h):
+        keys = compute_sfc_keys(x, y, z, box, key_dtype)
+        return jax.lax.sort((keys, x, y, z, h), num_keys=1, is_stable=False)
+
+    @jax.jit
+    def s_treetab(keys):
+        offs = build_cell_table(keys, cell_level)
+        counts0 = None
+        if cell_level == init_level:
+            c = jnp.minimum(
+                (offs[1:] - offs[:-1]).astype(jnp.uint32),
+                jnp.uint32(MAX_UINT32),
+            )
+            counts0 = jnp.zeros((capacity,), jnp.uint32).at[: c.shape[0]].set(c)
+        tree = _compute_octree_jit(
+            keys, bucket, capacity, MAX_UINT32, None, init_level, counts0
+        )
+        return tree, offs
     frontier_cap = int(os.environ.get("BENCH_FRONTIER_CAP", 256))
     table_level = int(os.environ.get("BENCH_TABLE_LEVEL", 6))
     cells_per_dim = int(os.environ.get("BENCH_CELLS_PER_DIM", 8))
@@ -337,12 +361,14 @@ def main():
         )
 
     def pipeline():
+        if trav_mode == "cell":
+            keys, xs, ys, zs, hs = s_front(x, y, z, hj)
+            tree, offs = s_treetab(keys)
+            counts, cell_ovf = s_cell(keys, xs, ys, zs, hs, offs)
+            return counts, tree.n_nodes, cell_ovf.astype(jnp.int32), jnp.int32(0)
         keys = s_encode(x, y, z)
         keys, xs, ys, zs, hs = s_sort(keys, x, y, z, hj)
         tree = s_tree(keys)
-        if trav_mode == "cell":
-            counts, cell_ovf = s_cell(keys, xs, ys, zs, hs)
-            return counts, tree.n_nodes, cell_ovf.astype(jnp.int32), jnp.int32(0)
         gx, gy, gz, gh, gvalid, gc, gs, gr = s_groups(xs, ys, zs, hs)
         if trav_mode == "cover":
             table = s_table(keys)
@@ -414,8 +440,10 @@ def main():
             ("groups", lambda: s_groups(xs, ys, zs, hs)),
         ]
         if trav_mode == "cell":
+            treetab = force(s_treetab(keys_s))
             stages += [
-                ("cell", lambda: s_cell(keys_s, xs, ys, zs, hs)),
+                ("treetab", lambda: s_treetab(keys_s)),
+                ("cell", lambda: s_cell(keys_s, xs, ys, zs, hs, treetab[1])),
             ]
         elif trav_mode == "cover":
             table = force(s_table(keys_s))

@@ -248,25 +248,41 @@ def uniform_tree(key_dtype, level: int, capacity: int) -> CsArray:
 
 @partial(jax.jit, static_argnames=("bucket_size", "capacity", "init_level"))
 def _compute_octree_jit(codes, bucket_size, capacity, max_count, n_codes,
-                        init_level=0):
+                        init_level=0, counts0=None):
+    """Fixed-point tree build. `counts0` (only with init_level > 0) skips
+    the initial count — callers that already built a grid-cell table at
+    init_level pass its diffs (each count is a full searchsorted over the
+    particle keys, the dominant per-iteration cost)."""
     if init_level > 0:
         tree0 = uniform_tree(codes.dtype, init_level, capacity)
     else:
         tree0 = root_tree(codes.dtype, capacity, n_particles=codes.shape[0])
-    counts0 = compute_node_counts(tree0.keys, codes, max_count, n_codes)
+    if counts0 is None or init_level == 0:
+        counts0 = compute_node_counts(tree0.keys, codes, max_count, n_codes)
     tree0 = CsArray(keys=tree0.keys, counts=counts0, n_nodes=tree0.n_nodes)
 
+    # decision carried in the state: an already-converged tree runs zero
+    # loop bodies (no redundant emit + count)
+    ops0, conv0 = rebalance_decision(
+        tree0.keys, tree0.counts, tree0.n_nodes, bucket_size
+    )
+
     def cond(state):
-        _, stop = state
+        _, _, stop = state
         return ~stop
 
     def body(state):
-        tree, _ = state
-        tree2, converged = update_octree(tree, codes, bucket_size, max_count, n_codes)
-        overflow = tree2.n_nodes > capacity  # bail out; caller raises
-        return tree2, converged | overflow
+        tree, ops, _ = state
+        new_keys, new_n = rebalance_tree(tree.keys, ops, tree.n_nodes)
+        new_counts = compute_node_counts(new_keys, codes, max_count, n_codes)
+        tree2 = CsArray(keys=new_keys, counts=new_counts, n_nodes=new_n)
+        ops2, converged = rebalance_decision(
+            new_keys, new_counts, new_n, bucket_size
+        )
+        overflow = new_n > capacity  # bail out; caller raises
+        return tree2, ops2, converged | overflow
 
-    tree, _ = jax.lax.while_loop(cond, body, (tree0, jnp.bool_(False)))
+    tree, _, _ = jax.lax.while_loop(cond, body, (tree0, ops0, conv0))
     return tree
 
 
