@@ -137,6 +137,14 @@ def main_sync():
     mean_nb = float(np.asarray(counts)[:n_owned].mean())
     pps = n / best
     baseline = 1e8
+    # NcStats / TFlops estimate parity (neighbor_driver.cu:160-170:
+    # 11 flops per tested pair)
+    from cstone_tpu.traversal.celllist import rowmajor_cell_perm, stencil_stats
+
+    offs = build_cell_table(res.keys, cell_level, n_valid=res.end_index)
+    perm, _ = rowmajor_cell_perm(cell_level)
+    pairs, max_occ = stencil_stats(offs, perm, cell_level)
+    pairs_f = float(np.asarray(pairs))
     print(json.dumps({
         "metric": "sync_findneighbors_throughput",
         "value": round(pps, 1),
@@ -146,7 +154,9 @@ def main_sync():
     print(
         f"n={n} best={best:.4f}s times={['%.3f' % t for t in times]} "
         f"compile={compile_time:.1f}s mode=sync level={cell_level} "
-        f"mean_nb={mean_nb:.1f}",
+        f"mean_nb={mean_nb:.1f} pairs={pairs_f:.3g} "
+        f"max_occ={int(np.asarray(max_occ))} "
+        f"tflops={11.0 * pairs_f / best / 1e12:.3f}",
         file=sys.stderr,
     )
 

@@ -97,6 +97,49 @@ class SyncResult:
     overflow: jax.Array  # >0 if any capacity was exceeded
     ex_record: object = None  # p2p mode: parallel.exchange.ExchangeRecord
     halo_record: object = None  # p2p mode: parallel.exchange.HaloRecord
+    # (6,) int32 per-capacity overflow indicators, pmax'd across ranks:
+    # [local_buffer, tree_capacity, focus_capacity, move_cap,
+    #  treelet_cap, halo_caps] — each entry 0 or the required size (where
+    # known), so a host retry loop can grow precisely
+    # (util/reallocate.hpp:38-107 semantics)
+    overflow_detail: jax.Array = None
+
+
+CAP_NAMES = ("local", "tree", "focus", "move", "treelet", "halo")
+
+
+def sync_with_retry(run_sync, caps: dict, max_retries: int = 4, growth: float = 1.6):
+    """Host-side capacity-growth loop (reallocate.hpp:38-107 semantics).
+
+    run_sync(caps) builds a Domain with the given capacities (keys
+    CAP_NAMES: local buffer size, tree_capacity, focus_capacity, move_cap,
+    treelet_cap, halo caps), runs one sync (+ downstream work), and
+    returns anything whose last element is a SyncResult. On overflow, the
+    capacities named by result.overflow_detail are grown by `growth` (and
+    at least to the reported required size) and run_sync is re-invoked —
+    a re-jit with larger static shapes, exactly the role of the
+    reference's reallocate-and-redo loops. Raises after max_retries.
+    """
+    import numpy as np_
+
+    caps = dict(caps)
+    for _ in range(max_retries + 1):
+        out = run_sync(dict(caps))
+        res = out[-1] if isinstance(out, tuple) else out
+        if int(np_.asarray(res.overflow)) == 0:
+            return out, caps
+        if res.overflow_detail is not None:
+            detail = np_.asarray(res.overflow_detail)
+        else:
+            detail = np_.ones((len(CAP_NAMES),), np_.int64)  # grow everything
+        for i, nm in enumerate(CAP_NAMES):
+            if detail[i] > 0:
+                need = int(detail[i])
+                grown = int(caps[nm] * growth) + 8
+                caps[nm] = max(grown, need + 8)
+    raise RuntimeError(
+        f"sync still overflows after {max_retries} retries: caps={caps}"
+    )
 
 
 class Domain:
@@ -261,7 +304,7 @@ class Domain:
         n_pool_valid = self._psum(n_local).astype(jnp.int32)
 
         focus_leaves0, focus_n0 = state.focus_leaves, state.focus_n
-        _, _, linked = focus_converge(
+        _, _, linked, focus_conv_ovf = focus_converge(
             focus_leaves0,
             focus_n0,
             pool_keys,
@@ -368,6 +411,7 @@ class Domain:
         overflow = jnp.maximum(
             overflow, jnp.where(linked.n_leaf > cap_leaf, linked.n_leaf, 0)
         )
+        overflow = jnp.maximum(overflow, focus_conv_ovf)
 
         new_state = DomainState(
             box=box,
@@ -509,6 +553,10 @@ class Domain:
         pos = jnp.minimum(pos, jnp.asarray(n_owned, jnp.int32))
         local = (pos[1:] - pos[:-1]).astype(jnp.uint32)
 
+        if self.n_ranks == 1:
+            # every cell is local — no service round needed
+            return jnp.where(lvalid, local, 0), jnp.int32(0)
+
         dest = (
             jnp.searchsorted(boundaries, a, side="right").astype(jnp.int32) - 1
         )
@@ -554,14 +602,23 @@ class Domain:
 
         # ---- 5. particle exchange (domaindecomp_mpi.hpp:104-158) -----------
         my_rank = jnp.asarray(self.rank, jnp.int32)
-        okeys, opayload, ex = exchange_particles(
-            keys, (xs, ys, zs, hs) + props_s, assignment.boundaries,
-            my_rank, n_local, move_cap, self.axis_name,
-        )
+        single = self.n_ranks == 1
+        if single:
+            # one rank owns everything: the sorted arrays ARE the owned set
+            okeys, opayload, ex = keys, (xs, ys, zs, hs) + props_s, None
+            n_owned = n_local
+            overflow = jnp.int32(0)
+            move_ovf = jnp.int32(0)
+        else:
+            okeys, opayload, ex = exchange_particles(
+                keys, (xs, ys, zs, hs) + props_s, assignment.boundaries,
+                my_rank, n_local, move_cap, self.axis_name,
+            )
+            n_owned = ex.n_owned
+            overflow = ex.overflow
+            move_ovf = ex.overflow
         ox, oy, oz, oh = opayload[:4]
         oprops = opayload[4:]
-        n_owned = ex.n_owned
-        overflow = ex.overflow
 
         # ---- 6. focused octree (LET) with service counts -------------------
         _itm = inv_theta_vec_mac if grav else inv_theta_min_mac
@@ -575,7 +632,7 @@ class Domain:
             )
             return counts
 
-        _, _, linked = focus_converge(
+        _, _, linked, focus_conv_ovf = focus_converge(
             state.focus_leaves,
             state.focus_n,
             None,
@@ -589,6 +646,7 @@ class Domain:
             axis_name=self.axis_name,
             curve=self.curve,
             leaf_counts_fn=counts_fn,
+            skip_macs=single,
         )
         cap_leaf = linked.leaves.shape[0] - 1
 
@@ -619,11 +677,17 @@ class Domain:
             mine_leaf, leaf_hmax * fdt.type(2.0 * self.halo_search_ext), 0.0
         )
 
-        halo_flags = find_halos(
-            linked, radii, box, first_leaf, last_leaf, self.curve
-        )
+        if single:
+            # one rank: every leaf is in the own assignment, so halo
+            # discovery cannot flag anything — skip the collision
+            # traversal (collisions.hpp:79-105 degenerate case)
+            halo_flags = jnp.zeros((cap_leaf,), jnp.int32)
+        else:
+            halo_flags = find_halos(
+                linked, radii, box, first_leaf, last_leaf, self.curve
+            )
 
-        if grav:
+        if grav and not single:
             # vector-MAC halo augmentation from exact mass centers: own
             # cells local, peer cells via the sum service (updateCenters,
             # octree_focus_mpi.hpp:369-449 + addMacs :601-610)
@@ -696,46 +760,64 @@ class Domain:
         new_props = tuple(place(p, p.dtype.type(0)) for p in oprops)
 
         # ---- 10. halo exchange of x, y, z, h (+props) -----------------------
-        dest_leaf = (
-            jnp.searchsorted(assignment.boundaries, linked.leaves[:-1], side="right")
-            .astype(jnp.int32) - 1
-        )
-        dest_leaf = jnp.clip(dest_leaf, 0, self.n_ranks - 1)
-        lvalid = li < linked.n_leaf
-        halo_req = (halo_flags.astype(bool)) & (~mine_leaf) & lvalid
-        halo_rec = build_halo_exchange(
-            linked.leaves[:-1], linked.leaves[1:], leaf_counts, layout,
-            halo_req, dest_leaf, okeys, n_owned, self.n_ranks,
-            halo_req_cap, halo_cap, self.axis_name,
-        )
-        overflow = jnp.maximum(overflow, halo_rec.overflow)
+        if single:
+            halo_rec = None
+            halo_ovf = jnp.int32(0)
+            in_buf = j < n_with_halos
+            new_keys = jnp.where(in_buf, okeys, rk)
+        else:
+            dest_leaf = (
+                jnp.searchsorted(
+                    assignment.boundaries, linked.leaves[:-1], side="right"
+                ).astype(jnp.int32) - 1
+            )
+            dest_leaf = jnp.clip(dest_leaf, 0, self.n_ranks - 1)
+            lvalid = li < linked.n_leaf
+            halo_req = (halo_flags.astype(bool)) & (~mine_leaf) & lvalid
+            halo_rec = build_halo_exchange(
+                linked.leaves[:-1], linked.leaves[1:], leaf_counts, layout,
+                halo_req, dest_leaf, okeys, n_owned, self.n_ranks,
+                halo_req_cap, halo_cap, self.axis_name,
+            )
+            halo_ovf = halo_rec.overflow
+            overflow = jnp.maximum(overflow, halo_rec.overflow)
 
-        new_x = exchange_halo_field(ox, new_x, halo_rec, self.axis_name)
-        new_y = exchange_halo_field(oy, new_y, halo_rec, self.axis_name)
-        new_z = exchange_halo_field(oz, new_z, halo_rec, self.axis_name)
-        new_h = exchange_halo_field(oh, new_h, halo_rec, self.axis_name)
-        new_props = tuple(
-            exchange_halo_field(op, np_buf, halo_rec, self.axis_name)
-            for op, np_buf in zip(oprops, new_props)
-        )
+            new_x = exchange_halo_field(ox, new_x, halo_rec, self.axis_name)
+            new_y = exchange_halo_field(oy, new_y, halo_rec, self.axis_name)
+            new_z = exchange_halo_field(oz, new_z, halo_rec, self.axis_name)
+            new_h = exchange_halo_field(oh, new_h, halo_rec, self.axis_name)
+            new_props = tuple(
+                exchange_halo_field(op, np_buf, halo_rec, self.axis_name)
+                for op, np_buf in zip(oprops, new_props)
+            )
 
-        # halo keys recomputed from coordinates (domain.hpp:523-540)
-        in_buf = j < n_with_halos
-        new_keys = compute_sfc_keys(new_x, new_y, new_z, box, dt, self.curve)
-        new_keys = jnp.where(in_buf, new_keys, rk)
-        owned_slots = (j >= start_index) & (j < end_index)
-        okeys_placed = place(okeys, rk)
-        new_keys = jnp.where(owned_slots, okeys_placed, new_keys)
+            # halo keys recomputed from coordinates (domain.hpp:523-540)
+            in_buf = j < n_with_halos
+            new_keys = compute_sfc_keys(new_x, new_y, new_z, box, dt, self.curve)
+            new_keys = jnp.where(in_buf, new_keys, rk)
+            owned_slots = (j >= start_index) & (j < end_index)
+            okeys_placed = place(okeys, rk)
+            new_keys = jnp.where(owned_slots, okeys_placed, new_keys)
 
         gcap = tree.keys.shape[0] - 1
-        overflow = jnp.maximum(
-            overflow, jnp.where(tree.n_nodes > gcap, tree.n_nodes, 0)
+        tree_ovf = jnp.where(tree.n_nodes > gcap, tree.n_nodes, 0)
+        focus_ovf = jnp.maximum(
+            jnp.where(linked.n_leaf > cap_leaf, linked.n_leaf, 0),
+            focus_conv_ovf,
         )
-        overflow = jnp.maximum(
-            overflow, jnp.where(linked.n_leaf > cap_leaf, linked.n_leaf, 0)
-        )
+        local_ovf = jnp.where(n_with_halos > cap, n_with_halos, 0)
+        overflow = jnp.maximum(overflow, jnp.maximum(tree_ovf, focus_ovf))
+        detail = jnp.stack([
+            local_ovf.astype(jnp.int32),
+            tree_ovf.astype(jnp.int32),
+            focus_ovf.astype(jnp.int32),
+            jnp.asarray(move_ovf, jnp.int32),
+            jnp.asarray(svc_ovf, jnp.int32),
+            jnp.asarray(halo_ovf, jnp.int32),
+        ])
         if self.axis_name is not None:
             overflow = jax.lax.pmax(overflow, self.axis_name)
+            detail = jax.lax.pmax(detail, self.axis_name)
 
         new_state = DomainState(
             box=box,
@@ -765,6 +847,7 @@ class Domain:
             overflow=overflow.astype(jnp.int32),
             ex_record=ex,
             halo_record=halo_rec,
+            overflow_detail=detail,
         )
         return new_state, result
 
@@ -811,6 +894,8 @@ class Domain:
         """
         cap = prop.shape[0]
         j = jnp.arange(cap, dtype=jnp.int32)
+        if self.n_ranks == 1 and result.halo_record is None and result.global_ids is None:
+            return prop  # single rank: there are no halo slots
         if result.halo_record is not None:
             from ..parallel.exchange import exchange_halo_field
 
@@ -860,6 +945,9 @@ class Domain:
         ExchangeLog, index_ranges.hpp:188-211).
         """
         sorted_prop = prop[result.sort_order]
+        if self.n_ranks == 1 and result.ex_record is None and result.pool_perm is None:
+            # single-rank p2p: layout order == sorted order, start_index 0
+            return sorted_prop
         if result.ex_record is not None:
             from ..parallel.exchange import replay_exchange
 

@@ -74,10 +74,11 @@ def sph_density_step(
     # fold neighbor-stage capacity overflows into the result flag so a
     # too-small cand_cap/ng_max can never silently drop neighbors
     # (reallocate.hpp:38-107 semantics: the caller grows and retries)
+    in_buf = jnp.arange(cap, dtype=jnp.int32) < res.n_with_halos
     ns_overflow = (
         (stats.cand_max > cand_cap)
         | (stats.leaf_max > cand_leaf_cap)
-        | (jnp.max(counts) > ng_max)
+        | (jnp.max(jnp.where(in_buf, counts, 0)) > ng_max)
     )
     import dataclasses
 

@@ -230,6 +230,29 @@ def stencil_neighbor_counts(
     return counts.reshape(-1, cap)
 
 
+def stencil_stats(
+    offsets: jax.Array,  # (n_cells+1,) from build_cell_table (SFC order)
+    perm: jax.Array,  # (n_cells,) row-major -> SFC cell index
+    level: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """(pairs_tested, max_occupancy) — NcStats analog for the stencil
+    (reference find_neighbors.cuh:346-369 sumP2P/maxP2P). pairs_tested is
+    the exact number of distance evaluations the 27-point stencil
+    performs: sum over cells of occ(c) * occ(27-neighborhood of c)."""
+    D = 1 << int(level)
+    occ_i = offsets[perm + 1] - offsets[perm]
+    # f32 accumulation: a diagnostic counter (pairs can exceed int32 at
+    # large N; TPU has no native i64)
+    occ = occ_i.astype(jnp.float32).reshape(D, D, D)
+    nb = jnp.zeros_like(occ)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                nb = nb + _roll3(occ, dx, dy, dz)
+    pairs = jnp.sum(occ * nb)
+    return pairs, jnp.max(occ_i).astype(jnp.int32)
+
+
 def cell_list_neighbor_counts(
     keys_sorted: jax.Array,  # (n,) SFC-sorted particle keys
     xs: jax.Array,  # (n,) coords in the same (sorted) order

@@ -125,6 +125,51 @@ def test_reapply_sync_replays_exchange():
     assert float(max_err) < 1e-5
 
 
+def test_sync_with_retry_grows_capacities():
+    """Deliberately tiny tree/focus capacities must converge through the
+    host growth loop instead of silently returning a coarse tree
+    (reallocate.hpp:38-107 analog)."""
+    from cstone_tpu.domain.domain import sync_with_retry
+
+    n = 1500
+    rng = np.random.RandomState(11)
+    pos = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    h = rng.uniform(0.04, 0.1, size=n).astype(np.float32)
+    box = make_box(-1.0, 1.0, boundaries=PERIODIC)
+
+    calls = []
+
+    def run(caps):
+        calls.append(dict(caps))
+        domain = Domain(
+            rank=0, n_ranks=1, bucket_size=8, key_dtype=jnp.uint64,
+            tree_capacity=caps["tree"], focus_capacity=caps["focus"],
+            move_cap=caps["move"], treelet_cap=caps["treelet"],
+            halo_cap=caps["halo"],
+        )
+        state = domain.init_state(box=box, boundaries=box.boundaries)
+        pad = caps["local"] - n
+        if pad < 0:
+            raise AssertionError("local capacity shrank below n")
+        xx = jnp.concatenate([jnp.asarray(pos[:, 0]), jnp.zeros(pad)])
+        yy = jnp.concatenate([jnp.asarray(pos[:, 1]), jnp.zeros(pad)])
+        zz = jnp.concatenate([jnp.asarray(pos[:, 2]), jnp.zeros(pad)])
+        hh = jnp.concatenate([jnp.asarray(h), jnp.zeros(pad)])
+        state, res = domain.sync(state, xx, yy, zz, hh, n_local=jnp.int32(n))
+        return state, res
+
+    caps0 = {"local": n, "tree": 64, "focus": 64, "move": 2048,
+             "treelet": 2048, "halo": 2048}
+    (state, res), caps = sync_with_retry(run, caps0)
+    assert int(res.overflow) == 0
+    assert len(calls) > 1, "test must actually exercise a retry"
+    assert caps["tree"] > 64 and caps["focus"] > 64
+    # the converged tree respects the bucket size
+    n_leaf = int(res.tree.n_leaf)
+    counts = np.asarray(res.leaf_counts[:n_leaf])
+    assert counts.sum() == n
+
+
 def test_sph_density_vs_oracle_single_rank():
     """models/sph.py density against a float64 NumPy oracle with the same
     cubic-spline kernel (all_to_all.hpp-style brute force)."""
