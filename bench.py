@@ -49,6 +49,15 @@ from cstone_tpu.tree.csarray import (
 from cstone_tpu.tree.octree import build_linked_octree
 
 
+def default_cell_cap(n: int, level: int) -> int:
+    """ELL capacity covering the Poisson occupancy tail at uniform
+    density: mean + 6.5*sqrt(mean), rounded up to a lane-friendly
+    multiple of 64 (the Pallas stencil needs zb*cap % 128 == 0)."""
+    mean = n / float(1 << (3 * level))
+    cap = mean + 6.5 * mean**0.5 + 8.0
+    return max(64, int(-(-cap // 64) * 64))
+
+
 def main_sync():
     """Full single-chip Domain.sync + findNeighbors steady-state throughput.
 
@@ -69,7 +78,6 @@ def main_sync():
     focus_bucket = int(os.environ.get("BENCH_FOCUS_BUCKET", 64))
     h_val = float(os.environ.get("BENCH_H", 0.012))
     reps = int(os.environ.get("BENCH_REPS", 5))
-    cell_cap = int(os.environ.get("BENCH_CELL_CAP", 80))
 
     rng = np.random.RandomState(42)
     pos = rng.uniform(0.0, 1.0, size=(n, 3)).astype(np.float32)
@@ -93,16 +101,24 @@ def main_sync():
     cell_level = int(os.environ.get("BENCH_CELL_LEVEL", 0)) or choose_cell_level(
         box, h_val
     )
+    cell_cap = int(os.environ.get("BENCH_CELL_CAP", 0)) or default_cell_cap(
+        n, cell_level
+    )
 
     @jax.jit
     def s_sync(state, x, y, z, h):
         return domain.sync(state, x, y, z, h)
 
+    cell_impl = os.environ.get(
+        "BENCH_CELL_IMPL",
+        "pallas" if jax.default_backend() not in ("cpu",) else "xla",
+    )
+
     @jax.jit
     def s_count(res):
         return cell_list_neighbor_counts(
             res.keys, res.x, res.y, res.z, res.h, box, cell_level, cell_cap,
-            n_valid=res.end_index,
+            n_valid=res.end_index, impl=cell_impl,
         )
 
     @jax.jit
@@ -222,7 +238,9 @@ def main():
     cell_level = int(os.environ.get("BENCH_CELL_LEVEL", 0)) or choose_cell_level(
         box, h_val
     )
-    cell_cap = int(os.environ.get("BENCH_CELL_CAP", 64))
+    cell_cap = int(os.environ.get("BENCH_CELL_CAP", 0)) or default_cell_cap(
+        n, cell_level
+    )
     cell_impl = os.environ.get(
         "BENCH_CELL_IMPL",
         "pallas" if jax.default_backend() not in ("cpu",) else "xla",

@@ -169,6 +169,10 @@ def _call(cand, tgt, D, cap, zb_cells, interpret):
             pltpu.VMEM((9, 1, 3 * Dp * cap), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
+        # large caps (e.g. 256 at 4M particles) push the statically
+        # unrolled z-block temporaries past the default 16M scoped-vmem
+        # budget; v5e has 128MB of VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(cand, tgt)
 
