@@ -749,9 +749,16 @@ class Domain:
         j = jnp.arange(cap, dtype=jnp.int32)
         tgt = jnp.where(j < n_owned, start_index + j, cap)
 
-        def place(owned, fill):
-            buf = jnp.full((cap,), fill, owned.dtype)
-            return buf.at[tgt].set(owned, mode="drop")
+        if single:
+            # no halos -> start_index == 0 and the layout order IS the
+            # sorted order: placement is the identity (scatters cost
+            # ~18ns/element on TPU; skipping five of them saves ~100ms/M)
+            def place(owned, fill):
+                return owned
+        else:
+            def place(owned, fill):
+                buf = jnp.full((cap,), fill, owned.dtype)
+                return buf.at[tgt].set(owned, mode="drop")
 
         new_x = place(ox, fdt.type(0))
         new_y = place(oy, fdt.type(0))

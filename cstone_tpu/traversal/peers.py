@@ -22,7 +22,7 @@ from .geometry import node_geometry
 from .macs import min_vec_mac_mutual
 from .traversal import batched_mark
 
-__all__ = ["find_peers_mac"]
+__all__ = ["find_peers_mac", "find_peers_mac_dual"]
 
 
 def find_peers_mac(
@@ -89,3 +89,64 @@ def find_peers_mac(
     )
     peer_mask = peer_mask.at[jnp.asarray(my_rank, jnp.int32)].set(0)
     return peer_mask
+
+
+def find_peers_mac_dual(
+    my_rank,
+    assignment: SfcAssignment,
+    tree: LinkedOctree,
+    box: Box,
+    inv_theta_eff: float,
+    curve: str = HILBERT,
+    pair_cap: int = 8192,
+) -> jax.Array:
+    """Dual-traversal peer discovery (the reference's production form,
+    peers.hpp:63-117): walk the global tree against itself from the root
+    pair, descending only into pairs that fail the commutative MAC, and
+    collect close leaf pairs. Ranks owning the non-local side of a close
+    pair whose local side lies in my assignment are peers. Equivalent to
+    find_peers_mac (the STT form) — the reference asserts the same.
+
+    Returns (peer_mask (n_ranks,) int32, overflow) — overflow > 0 means
+    pair_cap was too small and the mask is incomplete.
+    """
+    from .traversal import dual_traversal
+
+    dt = tree.prefixes.dtype
+    domain_start = assignment.boundaries[my_rank]
+    domain_end = assignment.boundaries[jnp.asarray(my_rank, jnp.int32) + 1]
+
+    node_start, node_end, levels = node_keys_and_levels(tree)
+    n_center, n_size = node_geometry(tree, box, curve)
+
+    def close_fn(a_ids, b_ids):
+        # prune pairs that cannot contribute: the local side must overlap
+        # my assignment, the remote side must not be fully inside it
+        a_overlaps = (node_start[a_ids] < domain_end) & (
+            node_end[a_ids] > domain_start
+        )
+        b_outside = ~(
+            (node_start[b_ids] >= domain_start) & (node_end[b_ids] <= domain_end)
+        )
+        mac_pass = min_vec_mac_mutual(
+            n_center[a_ids], n_size[a_ids], n_center[b_ids], n_size[b_ids],
+            box, inv_theta_eff,
+        )
+        return a_overlaps & b_outside & (~mac_pass)
+
+    out_a, out_b, n_out, overflow = dual_traversal(
+        tree.child_offsets, levels, close_fn, pair_cap
+    )
+
+    # close leaf pairs: local side fully counts (leaf overlap is enough —
+    # a leaf overlapping the assignment boundary contributes both ways,
+    # and the STT form marks from every local leaf)
+    valid = out_b >= 0
+    b_safe = jnp.maximum(out_b, 0)
+    ranks = find_rank(assignment, node_start[b_safe])
+    peer_mask = jnp.zeros((assignment.n_ranks,), dtype=jnp.int32)
+    peer_mask = peer_mask.at[
+        jnp.where(valid, ranks, assignment.n_ranks)
+    ].max(1, mode="drop")
+    peer_mask = peer_mask.at[jnp.asarray(my_rank, jnp.int32)].set(0)
+    return peer_mask, overflow

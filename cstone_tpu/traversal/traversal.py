@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "batched_collect_leaves",
+    "dual_traversal",
     "batched_collect_leaves_bfs",
     "batched_mark",
     "STACK_DEPTH",
@@ -279,3 +280,99 @@ def batched_mark(
 
     _, _, marks = jax.lax.while_loop(cond, body, (stack, stack_pos, marks))
     return marks
+
+
+def dual_traversal(
+    child_offsets: jax.Array,
+    levels: jax.Array,
+    close_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    pair_cap: int,
+    roots: Tuple[int, int] = (0, 0),
+    max_iters: int = 48,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Simultaneous pair traversal (reference traversal.hpp:136-188).
+
+    Walks pairs (a, b) of tree nodes: pairs where `close_fn` is False are
+    dropped (the reference's M2L/far endpoint), close pairs of two leaves
+    are emitted (the P2P endpoint), and otherwise the COARSER node is
+    split into its 8 children (ties split `a`; a leaf forces splitting
+    the other node) — the same descent rule as the reference. TPU
+    formulation: a level-synchronous frontier of pairs expanded 8-wide
+    per iteration, compacted with a sort (no scatters in the loop).
+
+    child_offsets/levels: (cap_nodes,) linked-octree arrays (0 = leaf).
+    close_fn(a_ids (M,), b_ids (M,)) -> (M,) bool, pure and vectorized.
+    pair_cap: static frontier AND output capacity.
+
+    Returns (out_a (pair_cap,), out_b, n_out, overflow) — the close leaf
+    pairs, padded with -1; overflow > 0 means a frontier or the output
+    exceeded pair_cap and the result is incomplete.
+    """
+    cap_nodes = child_offsets.shape[0]
+    k8 = jnp.arange(8, dtype=jnp.int32)
+
+    fa = jnp.zeros((pair_cap,), jnp.int32).at[0].set(jnp.int32(roots[0]))
+    fb = jnp.zeros((pair_cap,), jnp.int32).at[0].set(jnp.int32(roots[1]))
+    n_f = jnp.int32(1)
+    out_a = jnp.full((pair_cap,), -1, jnp.int32)
+    out_b = jnp.full((pair_cap,), -1, jnp.int32)
+    n_out = jnp.int32(0)
+    overflow = jnp.int32(0)
+
+    slot = jnp.arange(pair_cap, dtype=jnp.int32)
+
+    def cond(state):
+        _, _, n_f, _, _, _, _, it = state
+        return (n_f > 0) & (it < max_iters)
+
+    def body(state):
+        fa, fb, n_f, out_a, out_b, n_out, overflow, it = state
+        active = slot < n_f
+        a = jnp.where(active, fa, 0)
+        b = jnp.where(active, fb, 0)
+
+        close = close_fn(a, b) & active
+        leaf_a = child_offsets[a] == 0
+        leaf_b = child_offsets[b] == 0
+        endpoint = close & leaf_a & leaf_b
+        descend = close & (~endpoint)
+        # split the coarser node; a leaf forces the other side
+        split_a = descend & (~leaf_a) & (leaf_b | (levels[a] <= levels[b]))
+        split_b = descend & (~split_a)
+
+        # ---- emit endpoints (compact via sort, then append) -------------
+        ek = jnp.where(endpoint, jnp.int32(0), jnp.int32(1))
+        ek, ea, eb = jax.lax.sort((ek, a, b), num_keys=1, is_stable=False)
+        m = jnp.sum(endpoint, dtype=jnp.int32)
+        dst = jnp.where(slot < m, n_out + slot, pair_cap)
+        out_a = out_a.at[dst].set(ea, mode="drop")
+        out_b = out_b.at[dst].set(eb, mode="drop")
+        n_out_new = n_out + m
+        overflow = jnp.maximum(
+            overflow, jnp.where(n_out_new > pair_cap, n_out_new, jnp.int32(0))
+        )
+        n_out = jnp.minimum(n_out_new, jnp.int32(pair_cap))
+
+        # ---- expand the frontier 8-wide ----------------------------------
+        ca = jnp.minimum(child_offsets[a], cap_nodes - 8)
+        cb = jnp.minimum(child_offsets[b], cap_nodes - 8)
+        na = jnp.where(split_a[:, None], ca[:, None] + k8[None, :], a[:, None])
+        nb = jnp.where(split_a[:, None], b[:, None], cb[:, None] + k8[None, :])
+        valid = jnp.broadcast_to((split_a | split_b)[:, None], (pair_cap, 8))
+
+        vk = jnp.where(valid, jnp.int32(0), jnp.int32(1)).reshape(-1)
+        vk, na_f, nb_f = jax.lax.sort(
+            (vk, na.reshape(-1), nb.reshape(-1)), num_keys=1, is_stable=False
+        )
+        n_new = jnp.sum(valid, dtype=jnp.int32)
+        overflow = jnp.maximum(
+            overflow, jnp.where(n_new > pair_cap, n_new, jnp.int32(0))
+        )
+        n_f = jnp.minimum(n_new, jnp.int32(pair_cap))
+        return (na_f[:pair_cap], nb_f[:pair_cap], n_f, out_a, out_b, n_out,
+                overflow, it + 1)
+
+    fa, fb, n_f, out_a, out_b, n_out, overflow, _ = jax.lax.while_loop(
+        cond, body, (fa, fb, n_f, out_a, out_b, n_out, overflow, jnp.int32(0))
+    )
+    return out_a, out_b, n_out, overflow

@@ -45,3 +45,22 @@ def test_peers_mutuality_and_neighbors():
     # SFC-adjacent ranks share a surface -> must be peers
     for r in range(n_ranks - 1):
         assert masks[r, r + 1] == 1, f"ranks {r},{r+1} not peers"
+
+
+def test_peers_dual_matches_stt():
+    """Dual-traversal peers must equal the single-traversal form for every
+    rank — the reference validates exactly this equivalence
+    (peers.hpp:63-171, test/unit/traversal/peers.cpp)."""
+    from cstone_tpu.traversal.peers import find_peers_mac_dual
+
+    n_ranks = 8
+    linked, assignment, box = _setup(n_ranks=n_ranks)
+    inv_theta = inv_theta_min_mac(0.5)
+
+    for r in range(n_ranks):
+        stt = np.asarray(find_peers_mac(r, assignment, linked, box, inv_theta))
+        dual, ovf = find_peers_mac_dual(
+            r, assignment, linked, box, inv_theta, pair_cap=131072
+        )
+        assert int(ovf) == 0
+        np.testing.assert_array_equal(np.asarray(dual), stt)
