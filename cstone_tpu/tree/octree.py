@@ -264,18 +264,30 @@ def upsweep(
         leaf_quantities, mode="drop"
     )
 
+    # Children of every internal node are 8 consecutive slots, and groups
+    # tile [1, n_nodes) exactly — so each level's combine is a STATIC
+    # reshape-reduce of q[1:] plus a small scatter to the parents, instead
+    # of a (cap_nodes, 8) gather per level (TPU gathers cost ~18ns/index;
+    # the old form spent ~70ms at 37k nodes, this one ~5ms).
+    n_groups = (cap_nodes - 1) // 8
+    gidx = jnp.arange(n_groups, dtype=jnp.int32)
+    child0 = 1 + 8 * gidx
+    parents = tree.parents[:n_groups].astype(jnp.int32)
+    # level of each group's children (groups are level-contiguous)
+    child_lvl = (
+        jnp.searchsorted(tree.level_range, child0, side="right").astype(jnp.int32)
+        - 1
+    )
+    valid_group = (child0 + 8) <= tree.n_nodes
+
     lmax = tree.level_range.shape[0] - 2
-    idx = jnp.arange(cap_nodes, dtype=jnp.int32)
-    for lvl in range(lmax - 1, -1, -1):
-        in_level = (idx >= tree.level_range[lvl]) & (idx < tree.level_range[lvl + 1])
-        has_children = tree.child_offsets > 0
-        active = in_level & has_children
-        c0 = tree.child_offsets
-        children = q[jnp.minimum(c0[:, None] + jnp.arange(8)[None, :], cap_nodes - 1)]
-        combined = combine(idx, children)
-        if tail:
-            active = active.reshape(active.shape + (1,) * len(tail))
-        q = jnp.where(active, combined, q)
+    for lvl in range(lmax, 0, -1):
+        groups_here = valid_group & (child_lvl == lvl)
+        ch = q[1 : 1 + 8 * n_groups].reshape((n_groups, 8) + tail)
+        combined = combine(parents, ch)  # same (n, 8)+tail layout as before
+        q = q.at[jnp.where(groups_here, parents, cap_nodes)].set(
+            combined, mode="drop"
+        )
     return q
 
 
