@@ -546,7 +546,12 @@ def main():
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_MODE", "fn") == "sync":
-        main_sync()
-    else:
+    # Default = the honest headline: the FULL Domain.sync pipeline (global
+    # box/tree/assignment/focus/halos, warm-started, with per-step particle
+    # drift) + fixed-radius neighbor counts. BENCH_MODE=fn measures the
+    # tree-build + neighbor-search slice alone (octree.cpp +
+    # neighbor_driver.cu analog).
+    if os.environ.get("BENCH_MODE", "sync") == "fn":
         main()
+    else:
+        main_sync()

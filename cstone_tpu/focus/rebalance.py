@@ -123,22 +123,50 @@ def protect_ancestors(
     Returns (new_ops, converged).
     """
     dt = tree.prefixes.dtype
-    lmax = max_tree_level(dt)
     cap = tree.prefixes.shape[0]
     idx = jnp.arange(cap, dtype=jnp.int32)
-
-    anc = idx
-    for _ in range(lmax + 1):
-        need_up = (node_ops[anc] == 0) & (anc > 0)
-        parent = tree.parents[jnp.maximum(anc - 1, 0) // 8]
-        anc = jnp.where(need_up, parent, anc)
-
-    same_start = decode_placeholder_bit(tree.prefixes) == decode_placeholder_bit(
-        tree.prefixes[anc]
-    )
-    new_ops = jnp.where((idx == 0) | same_start, node_ops[anc], 0).astype(jnp.int32)
-
     valid = idx < tree.n_nodes
+    start = decode_placeholder_bit(jnp.where(valid, tree.prefixes, dt.type(1)))
+
+    # level DOWNSWEEP instead of per-node ancestor chasing: a node's
+    # nearest nonzero-op ancestor is itself if its op != 0, else its
+    # parent's. Children are 8 consecutive slots tiling [1, n_nodes), so
+    # each level is a static slice plus one small parent gather — the old
+    # chase cost 22 rounds of full-capacity gathers (~29ms at 37k nodes).
+    n_groups = (cap - 1) // 8
+    gidx = jnp.arange(n_groups, dtype=jnp.int32)
+    child0 = 1 + 8 * gidx
+    parents = tree.parents[:n_groups].astype(jnp.int32)
+    child_lvl = (
+        jnp.searchsorted(tree.level_range, child0, side="right").astype(jnp.int32)
+        - 1
+    )
+    valid_group = (child0 + 8) <= tree.n_nodes
+
+    eff = node_ops.astype(jnp.int32)  # nearest nonzero-op ancestor's op
+    anc_start = start  # that ancestor's start key
+    own_ops = node_ops[1 : 1 + 8 * n_groups].reshape(n_groups, 8)
+    own_start = start[1 : 1 + 8 * n_groups].reshape(n_groups, 8)
+    lmax_lr = tree.level_range.shape[0] - 2
+    for lvl in range(1, lmax_lr + 1):
+        here = valid_group & (child_lvl == lvl)
+        p_eff = eff[parents]
+        p_astart = anc_start[parents]
+        self_anchor = own_ops != 0
+        new_eff = jnp.where(self_anchor, own_ops, p_eff[:, None])
+        new_astart = jnp.where(self_anchor, own_start, p_astart[:, None])
+        cur_eff = eff[1 : 1 + 8 * n_groups].reshape(n_groups, 8)
+        cur_astart = anc_start[1 : 1 + 8 * n_groups].reshape(n_groups, 8)
+        eff = eff.at[1 : 1 + 8 * n_groups].set(
+            jnp.where(here[:, None], new_eff, cur_eff).reshape(-1)
+        )
+        anc_start = anc_start.at[1 : 1 + 8 * n_groups].set(
+            jnp.where(here[:, None], new_astart, cur_astart).reshape(-1)
+        )
+
+    same_start = start == anc_start
+    new_ops = jnp.where((idx == 0) | same_start, eff, 0).astype(jnp.int32)
+
     new_ops = jnp.where(valid, new_ops, 0)
     converged = jnp.all(jnp.where(valid, new_ops == 1, True))
     return new_ops, converged
