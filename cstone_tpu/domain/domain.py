@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.primitives import searchsorted as _searchsorted
+from ..ops.primitives import segment_ids_from_offsets
 from ..parallel.global_tree import global_bounds
 from ..sfc.box import Box
 from ..sfc.encode import HILBERT, compute_sfc_keys
@@ -291,7 +292,7 @@ class Domain:
         # outside per MAC, with mandatory resolution at all rank boundaries
         # (focus/octree_focus_mpi.hpp:108-187). Exact counts come from the
         # pool; see focus/octree_focus.py.
-        from ..focus.octree_focus import focus_converge, pool_leaf_counts
+        from ..focus.octree_focus import focus_converge
         from ..traversal.macs import inv_theta_min_mac, inv_theta_vec_mac
 
         # syncGrav uses the worst-case vector MAC for the tree structure
@@ -304,7 +305,7 @@ class Domain:
         n_pool_valid = self._psum(n_local).astype(jnp.int32)
 
         focus_leaves0, focus_n0 = state.focus_leaves, state.focus_n
-        _, _, linked, focus_conv_ovf = focus_converge(
+        _, _, linked, node_counts_f, focus_conv_ovf, _ = focus_converge(
             focus_leaves0,
             focus_n0,
             pool_keys,
@@ -319,7 +320,13 @@ class Domain:
             curve=self.curve,
         )
         cap_leaf = linked.leaves.shape[0] - 1
-        leaf_counts = pool_leaf_counts(pool_keys, linked.leaves, n_pool_valid)
+        # leaf counts extracted from the converge loop's final count pass
+        # (upsweep keeps leaf values at leaf positions) — no second
+        # pool_leaf_counts round
+        lif = jnp.arange(cap_leaf, dtype=jnp.int32)
+        leaf_counts = jnp.where(
+            lif < linked.n_leaf, node_counts_f[linked.leaf_order()], jnp.uint32(0)
+        )
 
         first_leaf = _searchsorted(linked.leaves, focus_start, side="left")[()]
         last_leaf = _searchsorted(linked.leaves, focus_end, side="left")[()]
@@ -330,10 +337,7 @@ class Domain:
         n_pool = pool_h.shape[0]
         leaf_pool_off = _searchsorted(pool_keys, linked.leaves, side="left")
         leaf_pool_off = jnp.minimum(leaf_pool_off, n_pool_valid)
-        pseg = jnp.searchsorted(
-            leaf_pool_off[1:], jnp.arange(n_pool, dtype=jnp.int32), side="right"
-        ).astype(jnp.int32)
-        pseg = jnp.minimum(pseg, cap_leaf - 1)
+        pseg = segment_ids_from_offsets(leaf_pool_off, n_pool, cap_leaf)
         leaf_hmax = jax.ops.segment_max(
             pool_h, pseg, num_segments=cap_leaf, indices_are_sorted=True
         )
@@ -388,10 +392,7 @@ class Domain:
         # local slot j -> pool index: leaf i = searchsorted(layout, j)-1,
         # pool idx = leaf_pool_off[i] + (j - layout[i])
         j = jnp.arange(cap, dtype=jnp.int32)
-        leaf_of_j = (
-            jnp.searchsorted(layout[1:], j, side="right").astype(jnp.int32)
-        )
-        leaf_of_j = jnp.minimum(leaf_of_j, cap_leaf - 1)
+        leaf_of_j = segment_ids_from_offsets(layout, cap, cap_leaf)
         pool_idx = leaf_pool_off[leaf_of_j] + (j - layout[leaf_of_j])
         in_buffer = j < n_with_halos
         pool_idx = jnp.where(in_buffer, pool_idx, n_pool - 1)
@@ -626,13 +627,12 @@ class Domain:
         focus_end = assignment.boundaries[my_rank + 1]
 
         def counts_fn(leaves, n_leaf):
-            counts, _ = self._leaf_counts_service(
+            return self._leaf_counts_service(
                 leaves, n_leaf, okeys, n_owned, assignment.boundaries,
                 treelet_cap,
             )
-            return counts
 
-        _, _, linked, focus_conv_ovf = focus_converge(
+        _, _, linked, node_counts_f, focus_conv_ovf, svc_ovf = focus_converge(
             state.focus_leaves,
             state.focus_n,
             None,
@@ -650,9 +650,13 @@ class Domain:
         )
         cap_leaf = linked.leaves.shape[0] - 1
 
-        leaf_counts, svc_ovf = self._leaf_counts_service(
-            linked.leaves, linked.n_leaf, okeys, n_owned,
-            assignment.boundaries, treelet_cap,
+        # leaf counts come from the converge loop's final count pass —
+        # one count-service round per sync total (the reference likewise
+        # shares updateTree's counts with updateCounts,
+        # octree_focus_mpi.hpp:108-273)
+        lif = jnp.arange(cap_leaf, dtype=jnp.int32)
+        leaf_counts = jnp.where(
+            lif < linked.n_leaf, node_counts_f[linked.leaf_order()], jnp.uint32(0)
         )
         overflow = jnp.maximum(overflow, svc_ovf)
 
@@ -662,10 +666,7 @@ class Domain:
         # ---- 7. per-leaf interaction radii from OWNED particles ------------
         leaf_off = _searchsorted(okeys, linked.leaves, side="left")
         leaf_off = jnp.minimum(leaf_off, n_owned)
-        pseg = jnp.searchsorted(
-            leaf_off[1:], jnp.arange(cap, dtype=jnp.int32), side="right"
-        ).astype(jnp.int32)
-        pseg = jnp.minimum(pseg, cap_leaf - 1)
+        pseg = segment_ids_from_offsets(leaf_off, cap, cap_leaf)
         oh_valid = jnp.where(jnp.arange(cap, dtype=jnp.int32) < n_owned, oh, 0.0)
         leaf_hmax = jax.ops.segment_max(
             oh_valid, pseg, num_segments=cap_leaf, indices_are_sorted=True

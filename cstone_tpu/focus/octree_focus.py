@@ -116,16 +116,27 @@ def focus_converge(
     curve: str = HILBERT,
     leaf_counts_fn: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
     skip_macs: bool = False,
-) -> Tuple[jax.Array, jax.Array, LinkedOctree]:
+) -> Tuple[jax.Array, jax.Array, LinkedOctree, jax.Array, jax.Array, jax.Array]:
     """Fixed-point focus tree construction (octree_focus_mpi.hpp:535-553).
 
     Iterates CombinedUpdate with exact counts and geometric min-MAC
     markings until every rank's tree is unchanged. Counts come either from
     the globally sorted pool (pool_keys; the round-1 O(N_global) path) or
-    from `leaf_counts_fn(leaves, n_leaf) -> (cap_leaf,) uint32` — e.g. the
-    peer-local count service (parallel/exchange.range_count_service), the
-    analog of the reference's updateCounts peer exchange
-    (octree_focus_mpi.hpp:205-273). Returns (leaves, n_leaf, linked tree).
+    from `leaf_counts_fn(leaves, n_leaf) -> (cap_leaf,) uint32` or
+    `-> (counts, overflow)` — e.g. the peer-local count service
+    (parallel/exchange.range_count_service), the analog of the reference's
+    updateCounts peer exchange (octree_focus_mpi.hpp:205-273).
+
+    Returns (leaves, n_leaf, linked tree, node_counts, overflow,
+    count_service_overflow). The
+    linked tree and node counts are the ones computed in the final
+    iteration, so the Domain reuses them for layout/halos without a
+    second build or count round (the reference likewise shares updateTree's
+    state with updateCounts, octree_focus_mpi.hpp:108-273). A warm,
+    already-converged tree therefore costs exactly one linked build plus
+    one count pass per sync. On non-convergence at max_iters the overflow
+    flag is set (cap_leaf+1) so host retry loops re-run with larger
+    capacity rather than silently using a stale tree.
     """
     from ..traversal.macs import mark_macs
 
@@ -148,19 +159,22 @@ def focus_converge(
             curve=curve,
         )
 
-    def counts_of(linked: LinkedOctree) -> jax.Array:
+    def counts_of(linked: LinkedOctree) -> Tuple[jax.Array, jax.Array]:
         if leaf_counts_fn is not None:
-            leaf_counts = leaf_counts_fn(linked.leaves, linked.n_leaf)
+            out = leaf_counts_fn(linked.leaves, linked.n_leaf)
+            leaf_counts, ovf = (
+                out if isinstance(out, tuple) else (out, jnp.int32(0))
+            )
         else:
             leaf_counts = pool_leaf_counts(pool_keys, linked.leaves, n_pool)
-        return upsweep_sum(linked, leaf_counts, saturate_u32=True)
+            ovf = jnp.int32(0)
+        return upsweep_sum(linked, leaf_counts, saturate_u32=True), ovf
 
     cap_leaf = leaves0.shape[0] - 1
 
-    def body(state):
-        leaves, n_leaf, _, it, max_req = state
+    def step(leaves, n_leaf, it, max_req, cnt_ovf):
         linked = build_linked_octree(leaves, n_leaf)
-        node_counts = counts_of(linked)
+        node_counts, ovf = counts_of(linked)
         node_macs = macs_of(linked)
         new_leaves, new_n, converged = focus_update_once(
             linked, node_counts, node_macs, focus_start, focus_end,
@@ -175,16 +189,31 @@ def focus_converge(
         new_n = jnp.minimum(new_n, jnp.int32(cap_leaf))
         if axis_name is not None:
             converged = jax.lax.pmin(converged.astype(jnp.int32), axis_name) > 0
-        return new_leaves, new_n, converged, it + 1, max_req
+        return (new_leaves, new_n, linked, node_counts, converged, it + 1,
+                max_req, jnp.maximum(cnt_ovf, ovf))
 
     def cond(state):
-        _, _, converged, it, _ = state
+        converged, it = state[4], state[5]
         return (~converged) & (it < max_iters)
 
-    leaves, n_leaf, _, _, max_req = jax.lax.while_loop(
-        cond, body, (leaves0, jnp.asarray(n_leaf0, jnp.int32), jnp.bool_(False),
-                     jnp.int32(0), jnp.asarray(n_leaf0, jnp.int32))
-    )
-    linked = build_linked_octree(leaves, n_leaf)
+    def body(state):
+        leaves, n_leaf = state[0], state[1]
+        it, max_req, cnt_ovf = state[5], state[6], state[7]
+        return step(leaves, n_leaf, it, max_req, cnt_ovf)
+
+    n0 = jnp.asarray(n_leaf0, jnp.int32)
+    state = step(leaves0, n0, jnp.int32(0), n0, jnp.int32(0))
+    state = jax.lax.while_loop(cond, body, state)
+    _, _, linked, node_counts, converged, _, max_req, cnt_ovf = state
+
+    # linked/node_counts describe the tree the final step STARTED from;
+    # on convergence that tree equals the step's output, so return it
+    # (linked.leaves/n_leaf) as the authoritative leaf array.
     overflow = jnp.where(max_req > cap_leaf, max_req, 0).astype(jnp.int32)
-    return leaves, n_leaf, linked, overflow
+    overflow = jnp.maximum(
+        overflow, jnp.where(converged, 0, jnp.int32(cap_leaf + 1))
+    )
+    # cnt_ovf (count-service/treelet capacity) is reported separately so the
+    # host retry loop grows the right capacity (CAP_NAMES 'treelet', not
+    # 'focus')
+    return linked.leaves, linked.n_leaf, linked, node_counts, overflow, cnt_ovf

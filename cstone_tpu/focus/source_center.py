@@ -13,6 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops.primitives import segment_ids_from_offsets
 from ..sfc.box import Box
 from ..sfc.encode import HILBERT
 from ..traversal.geometry import node_geometry
@@ -36,10 +37,7 @@ def compute_leaf_source_centers(
     layout: (cap_leaf+1,) particle offsets per leaf; particles SFC-sorted.
     """
     n = x.shape[0]
-    seg_id = jnp.searchsorted(
-        layout[1:].astype(jnp.int32), jnp.arange(n, dtype=jnp.int32), side="right"
-    )
-    seg_id = jnp.minimum(seg_id, cap_leaf - 1)
+    seg_id = segment_ids_from_offsets(layout, n, cap_leaf)
     w = jnp.abs(m)
     sums = jnp.stack([w * x, w * y, w * z, w], axis=-1)
     per_leaf = jax.ops.segment_sum(

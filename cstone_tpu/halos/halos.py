@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..domain.layout import compute_node_layout
+from ..ops.primitives import segment_ids_from_offsets
 from ..sfc.box import Box
 from ..traversal.collisions import find_halos
 from ..tree.octree import LinkedOctree
@@ -55,10 +56,7 @@ class Halos:
         """
         cap_leaf = tree.leaves.shape[0] - 1
         n = h_sorted.shape[0]
-        pseg = jnp.searchsorted(
-            layout_scan[1:], jnp.arange(n, dtype=jnp.int32), side="right"
-        ).astype(jnp.int32)
-        pseg = jnp.minimum(pseg, cap_leaf - 1)
+        pseg = segment_ids_from_offsets(layout_scan, n, cap_leaf)
         leaf_hmax = jax.ops.segment_max(
             h_sorted, pseg, num_segments=cap_leaf, indices_are_sorted=True
         )
