@@ -51,10 +51,17 @@ from cstone_tpu.tree.octree import build_linked_octree
 
 def default_cell_cap(n: int, level: int) -> int:
     """ELL capacity covering the Poisson occupancy tail at uniform
-    density: mean + 6.5*sqrt(mean), rounded up to a lane-friendly
-    multiple of 64 (the Pallas stencil needs zb*cap % 128 == 0)."""
-    mean = n / float(1 << (3 * level))
-    cap = mean + 6.5 * mean**0.5 + 8.0
+    density. Extreme-value sizing: E[max over C cells] ~ mean +
+    sqrt(2 ln C * mean); add ~1 sigma + 6 margin. Rounded up to a
+    multiple of 64 — the Pallas stencil needs both zb*cap and
+    (zb+2)*cap lane-aligned (% 128 == 0), i.e. cap % 64 == 0.
+    Overflow is flagged and sync_with_retry grows the cap, so a tight
+    default is safe."""
+    import math
+
+    n_cells = float(1 << (3 * level))
+    mean = n / n_cells
+    cap = mean + math.sqrt(2.0 * math.log(n_cells) * mean) + 6.0
     return max(64, int(-(-cap // 64) * 64))
 
 

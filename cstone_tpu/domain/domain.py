@@ -626,38 +626,60 @@ class Domain:
         focus_start = assignment.boundaries[my_rank]
         focus_end = assignment.boundaries[my_rank + 1]
 
-        def counts_fn(leaves, n_leaf):
-            return self._leaf_counts_service(
-                leaves, n_leaf, okeys, n_owned, assignment.boundaries,
-                treelet_cap,
+        # Single-rank + equal bucket sizes: the focus tree's fixed point IS
+        # the global cornerstone tree (the whole domain is inside the focus,
+        # MACs never fire, and both trees refine/merge on the same
+        # count-vs-bucket rule), so the converge loop — with its extra
+        # count pass and rebalance machinery — is redundant. Mirror the
+        # global tree and reuse its counts (octree_focus.hpp:83-153
+        # degenerate case).
+        fast_focus = (
+            single
+            and self.bucket_size_focus == self.bucket_size
+            and state.focus_leaves.shape[0] == tree.keys.shape[0]
+        )
+        if fast_focus:
+            linked = build_linked_octree(tree.keys, tree.n_nodes)
+            cap_leaf = linked.leaves.shape[0] - 1
+            lif = jnp.arange(cap_leaf, dtype=jnp.int32)
+            leaf_counts = jnp.where(
+                lif < linked.n_leaf, tree.counts, jnp.uint32(0)
             )
+            focus_conv_ovf = jnp.int32(0)
+            svc_ovf = jnp.int32(0)
+        else:
+            def counts_fn(leaves, n_leaf):
+                return self._leaf_counts_service(
+                    leaves, n_leaf, okeys, n_owned, assignment.boundaries,
+                    treelet_cap,
+                )
 
-        _, _, linked, node_counts_f, focus_conv_ovf, svc_ovf = focus_converge(
-            state.focus_leaves,
-            state.focus_n,
-            None,
-            None,
-            box,
-            focus_start,
-            focus_end,
-            assignment.boundaries,
-            self.bucket_size_focus,
-            _itm(self.theta),
-            axis_name=self.axis_name,
-            curve=self.curve,
-            leaf_counts_fn=counts_fn,
-            skip_macs=single,
-        )
-        cap_leaf = linked.leaves.shape[0] - 1
+            _, _, linked, node_counts_f, focus_conv_ovf, svc_ovf = focus_converge(
+                state.focus_leaves,
+                state.focus_n,
+                None,
+                None,
+                box,
+                focus_start,
+                focus_end,
+                assignment.boundaries,
+                self.bucket_size_focus,
+                _itm(self.theta),
+                axis_name=self.axis_name,
+                curve=self.curve,
+                leaf_counts_fn=counts_fn,
+                skip_macs=single,
+            )
+            cap_leaf = linked.leaves.shape[0] - 1
 
-        # leaf counts come from the converge loop's final count pass —
-        # one count-service round per sync total (the reference likewise
-        # shares updateTree's counts with updateCounts,
-        # octree_focus_mpi.hpp:108-273)
-        lif = jnp.arange(cap_leaf, dtype=jnp.int32)
-        leaf_counts = jnp.where(
-            lif < linked.n_leaf, node_counts_f[linked.leaf_order()], jnp.uint32(0)
-        )
+            # leaf counts come from the converge loop's final count pass —
+            # one count-service round per sync total (the reference likewise
+            # shares updateTree's counts with updateCounts,
+            # octree_focus_mpi.hpp:108-273)
+            lif = jnp.arange(cap_leaf, dtype=jnp.int32)
+            leaf_counts = jnp.where(
+                lif < linked.n_leaf, node_counts_f[linked.leaf_order()], jnp.uint32(0)
+            )
         overflow = jnp.maximum(overflow, svc_ovf)
 
         first_leaf = _searchsorted(linked.leaves, focus_start, side="left")[()]
@@ -875,21 +897,26 @@ class Domain:
         )
         capacity = tree0.keys.shape[0] - 1
 
+        # decision-first loop: a warm (already converged) tree costs one
+        # count + one decision; the rebalance + recount only run when the
+        # decision actually changed the tree (csarray.hpp:411-448)
+        ops0, conv0 = rebalance_decision(
+            tree0.keys, tree0.counts, tree0.n_nodes, self.bucket_size
+        )
+
         def cond(s):
-            _, stop = s
+            _, _, stop = s
             return ~stop
 
         def body(s):
-            t, _ = s
-            ops, converged = rebalance_decision(
-                t.keys, t.counts, t.n_nodes, self.bucket_size
-            )
+            t, ops, _ = s
             nk, nn = rebalance_tree(t.keys, ops, t.n_nodes)
             nc = count(nk)
             t2 = CsArray(keys=nk, counts=nc, n_nodes=nn)
-            return t2, converged | (nn > capacity)
+            ops2, conv2 = rebalance_decision(nk, nc, nn, self.bucket_size)
+            return t2, ops2, conv2 | (nn > capacity)
 
-        tree, _ = jax.lax.while_loop(cond, body, (tree0, jnp.bool_(False)))
+        tree, _, _ = jax.lax.while_loop(cond, body, (tree0, ops0, conv0))
         return tree
 
     # ------------------------------------------------------------------

@@ -158,6 +158,67 @@ def ell_pack(
     return packed, valid, overflow
 
 
+INVALID_COORD = np.float32(1e30)
+
+
+def ell_pack_scatter(
+    keys_sorted: jax.Array,  # (n,) SFC-sorted particle keys
+    perm: jax.Array,  # (n_cells,) row-major -> SFC cell index
+    arrays: Tuple[jax.Array, ...],  # (n,) sorted f32 particle fields
+    cap: int,
+    level: int,
+    n_valid=None,
+) -> Tuple[Tuple[jax.Array, ...], jax.Array, jax.Array, jax.Array]:
+    """Scatter-formulated ELL pack: no cell table, no slot gather.
+
+    The gather form (ell_pack) touches n_cells*cap slot indices and needs
+    a build_cell_table scatter-add first; XLA TPU scatters/gathers cost
+    per *index*, so packing 1M particles into a 2x-padded grid that way
+    costs ~3M index ops. This form costs exactly n: each particle's cell
+    is its top key bits (particles are key-sorted, so within-cell rank is
+    a cummax over run starts), and all F fields plus the particle index
+    ride ONE (n, F+1) scatter. A final (n_cells,) row-permute rearranges
+    SFC cell order to row-major — 8^level indices, negligible.
+
+    Returns (packed arrays (n_cells, cap) each, valid, pidx, overflow):
+    pidx maps ELL slots back to sorted particle positions (INT_MAX-like
+    sentinel 2^24 in empty slots, sorts last), valid marks occupied slots.
+    """
+    n = keys_sorted.shape[0]
+    dt = keys_sorted.dtype
+    L = max_tree_level(dt)
+    shift = dt.type(3 * (L - level))
+    n_cells = 1 << (3 * level)
+    F = len(arrays)
+    assert all(a.dtype == jnp.float32 for a in arrays)
+
+    cell = jnp.minimum((keys_sorted >> shift).astype(jnp.int32), jnp.int32(n_cells))
+    i = jnp.arange(n, dtype=jnp.int32)
+    ok = cell < n_cells
+    if n_valid is not None:
+        ok = ok & (i < jnp.asarray(n_valid, jnp.int32))
+
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), cell[1:] != cell[:-1]]
+    )
+    run_start = jax.lax.cummax(jnp.where(boundary, i, 0))
+    rank = i - run_start
+    overflow = jnp.max(jnp.where(ok, rank, -1)) >= cap
+
+    tgt = jnp.where(ok & (rank < cap), cell * cap + rank, n_cells * cap)
+    # particle index as f32 (exact below 2^24) so it rides the same scatter
+    stacked = jnp.stack(tuple(arrays) + (i.astype(jnp.float32),), axis=-1)
+    fill = jnp.asarray([INVALID_COORD] * F + [np.float32(1 << 24)], jnp.float32)
+    buf = jnp.broadcast_to(fill, (n_cells * cap, F + 1))
+    buf = buf.at[tgt].set(stacked, mode="drop")
+    ell = buf.reshape(n_cells, cap, F + 1)[perm]  # row-major cell order
+
+    packed = tuple(ell[..., f] for f in range(F))
+    pidx = ell[..., F].astype(jnp.int32)
+    valid = packed[0] != INVALID_COORD
+    return packed, valid, pidx, overflow
+
+
 def _roll3(a: jax.Array, dx: int, dy: int, dz: int) -> jax.Array:
     """a is (D, D, D, ...); rolled so cell (i,j,k) sees (i+dx, j+dy, k+dz)."""
     if dx:
@@ -279,12 +340,11 @@ def cell_list_neighbor_counts(
     `offsets` lets callers reuse a build_cell_table result at `level`.
     """
     n = keys_sorted.shape[0]
-    if offsets is None:
-        offsets = build_cell_table(keys_sorted, int(level), n_valid=n_valid)
+    del offsets  # the scatter pack needs no cell table
     perm, inv = rowmajor_cell_perm(int(level), curve)
 
-    (px, py, pz, ph), valid, overflow = ell_pack(
-        offsets, perm, (xs, ys, zs, hs), cap
+    (px, py, pz, ph), valid, pidx, overflow = ell_pack_scatter(
+        keys_sorted, perm, (xs, ys, zs, hs), cap, int(level), n_valid=n_valid
     )
     r2 = jnp.where(valid, (2.0 * ph) ** 2, jnp.float32(-1.0))
     if impl == "pallas":
@@ -299,13 +359,8 @@ def cell_list_neighbor_counts(
         counts_ell = stencil_neighbor_counts(px, py, pz, r2, valid, box, int(level))
 
     # back to particle order via ONE sort instead of a per-particle
-    # gather (XLA TPU gathers cost ~50ms/M indices; sorts ~5ms/M): every
-    # valid ELL slot (row r, slot j) holds the particle at sorted index
-    # starts[r] + j — sort (index, count) pairs by index and take [:n]
-    starts = offsets[perm]
-    j = jnp.arange(cap, dtype=jnp.int32)
-    pidx = starts[:, None] + j[None, :]
-    pidx = jnp.where(valid, pidx, jnp.int32(np.iinfo(np.int32).max))
+    # gather (XLA TPU gathers cost ~50ms/M indices; sorts ~5ms/M): the
+    # pack recorded each slot's particle index (empty slots sort last)
     pidx_s, counts_s = jax.lax.sort(
         (pidx.reshape(-1), counts_ell.reshape(-1)), num_keys=1, is_stable=False
     )
