@@ -206,15 +206,16 @@ def ell_pack_scatter(
     overflow = jnp.max(jnp.where(ok, rank, -1)) >= cap
 
     tgt = jnp.where(ok & (rank < cap), cell * cap + rank, n_cells * cap)
-    # particle index as f32 (exact below 2^24) so it rides the same scatter
-    stacked = jnp.stack(tuple(arrays) + (i.astype(jnp.float32),), axis=-1)
-    fill = jnp.asarray([INVALID_COORD] * F + [np.float32(1 << 24)], jnp.float32)
-    buf = jnp.broadcast_to(fill, (n_cells * cap, F + 1))
-    buf = buf.at[tgt].set(stacked, mode="drop")
-    ell = buf.reshape(n_cells, cap, F + 1)[perm]  # row-major cell order
+    # F+1 SCALAR scatters, not one (n, F+1) row scatter: XLA TPU lowers
+    # row scatters >2x slower than the equivalent scalar scatters
+    # (measured 120ms vs 55ms for 1M rows of 5 — scripts/exp_scatter.py)
+    def scat(vals, fill):
+        buf = jnp.full((n_cells * cap,), fill, vals.dtype)
+        buf = buf.at[tgt].set(vals, mode="drop")
+        return buf.reshape(n_cells, cap)[perm]  # row-major cell order
 
-    packed = tuple(ell[..., f] for f in range(F))
-    pidx = ell[..., F].astype(jnp.int32)
+    packed = tuple(scat(a, INVALID_COORD) for a in arrays)
+    pidx = scat(i, jnp.int32(np.iinfo(np.int32).max))
     valid = packed[0] != INVALID_COORD
     return packed, valid, pidx, overflow
 
