@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.primitives import cumsum64
 from ..ops.primitives import searchsorted as _searchsorted
 from ..sfc.keys import enclosing_box_code, max_tree_level, node_range
 
@@ -54,7 +55,7 @@ def uniform_bins(counts: jax.Array, n_nodes, n_bins: int) -> Tuple[jax.Array, ja
     Returns (bins (n_bins+1,) int32 node indices, bin_counts (n_bins,) int64).
     """
     scan = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int64), jnp.cumsum(counts.astype(jnp.int64))]
+        [jnp.zeros((1,), jnp.int64), cumsum64(counts.astype(jnp.int64))]
     )
     total = scan[jnp.asarray(n_nodes, jnp.int32)]
 
@@ -97,7 +98,7 @@ def limit_boundary_shifts(
 
     # recount per rank
     scan = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int64), jnp.cumsum(counts.astype(jnp.int64))]
+        [jnp.zeros((1,), jnp.int64), cumsum64(counts.astype(jnp.int64))]
     )
     pos = _searchsorted(tree_keys, boundaries, side="left").astype(jnp.int32)
     new_counts = scan[pos[1:]] - scan[pos[:-1]]

@@ -14,6 +14,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.primitives import cumsum64
 from ..sfc.keys import (
     decode_placeholder_bit,
     decode_prefix_length,
@@ -245,7 +246,7 @@ def range_count(
     """
     cap = focus_idx.shape[0]
     scan = jnp.concatenate(
-        [jnp.zeros((1,), jnp.uint64), jnp.cumsum(global_counts.astype(jnp.uint64))]
+        [jnp.zeros((1,), jnp.uint64), cumsum64(global_counts.astype(jnp.uint64))]
     )
     safe_idx = jnp.minimum(focus_idx, focus_leaves.shape[0] - 2)
     start_key = focus_leaves[safe_idx]

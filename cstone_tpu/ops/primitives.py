@@ -16,6 +16,7 @@ __all__ = [
     "searchsorted",
     "sort_by_key",
     "exclusive_scan",
+    "cumsum64",
     "segment_max",
     "segment_ids_from_offsets",
 ]
@@ -45,6 +46,17 @@ def exclusive_scan(x: jax.Array, axis: int = -1) -> jax.Array:
     """Exclusive prefix sum along axis."""
     inc = jnp.cumsum(x, axis=axis)
     return inc - x
+
+
+def cumsum64(x: jax.Array) -> jax.Array:
+    """Inclusive prefix sum of a 1-D 64-bit integer array, TPU-safe.
+
+    XLA lowers 64-bit `cumsum` to a hierarchical u32-pair reduce-window
+    whose stage-2 scoped-vmem allocation can exceed the 16MB limit (seen
+    inside lax.scan bodies). The work-efficient associative_scan builds
+    the same prefix from log2(n) elementwise adds + slices, which lower
+    to plain u32-pair vector arithmetic."""
+    return jax.lax.associative_scan(jnp.add, x)
 
 
 def segment_ids_from_offsets(
