@@ -385,9 +385,8 @@ def main():
         "pallas" if jax.default_backend() not in ("cpu",) else "xla",
     )
     s_cell = jax.jit(
-        lambda k, xs, ys, zs, hs, offs: cell_list_neighbor_counts(
+        lambda k, xs, ys, zs, hs: cell_list_neighbor_counts(
             k, xs, ys, zs, hs, box, cell_level, cell_cap, impl=cell_impl,
-            offsets=offs,
         )
     )
 
@@ -531,7 +530,7 @@ def main():
         if trav_mode == "cell":
             keys, xs, ys, zs, hs = s_front(x, y, z, hj)
             tree, offs = s_treetab(keys)
-            counts, cell_ovf = s_cell(keys, xs, ys, zs, hs, offs)
+            counts, cell_ovf = s_cell(keys, xs, ys, zs, hs)
             return counts, tree.n_nodes, cell_ovf.astype(jnp.int32), jnp.int32(0)
         keys = s_encode(x, y, z)
         keys, xs, ys, zs, hs = s_sort(keys, x, y, z, hj)
@@ -610,7 +609,7 @@ def main():
             treetab = force(s_treetab(keys_s))
             stages += [
                 ("treetab", lambda: s_treetab(keys_s)),
-                ("cell", lambda: s_cell(keys_s, xs, ys, zs, hs, treetab[1])),
+                ("cell", lambda: s_cell(keys_s, xs, ys, zs, hs)),
             ]
         elif trav_mode == "cover":
             table = force(s_table(keys_s))

@@ -67,6 +67,12 @@ class DomainState:
     focus_leaves: jax.Array  # (focus_capacity+1,) cornerstone keys
     focus_n: jax.Array
     first_call: jax.Array  # bool
+    # carried linked octree: when the global tree's rebalance decision says
+    # "converged" the leaf array is bit-identical to last step's, so the
+    # linked structure is reused instead of rebuilt (the reference's
+    # rebalanceStatus freshness guard + convergence short-circuit,
+    # octree_focus_mpi.hpp:669-677, csarray.hpp:430-448)
+    linked: LinkedOctree
 
 
 @jax.tree_util.register_dataclass
@@ -138,8 +144,25 @@ def sync_with_retry(run_sync, caps: dict, max_retries: int = 4, growth: float = 
                 need = int(detail[i])
                 grown = int(caps[nm] * growth) + 8
                 caps[nm] = max(grown, need + 8)
+    hint = ""
+    focus_i = CAP_NAMES.index("focus")
+    if (
+        res.overflow_detail is not None
+        and detail[focus_i] > 0
+        and int(detail[focus_i]) <= caps["focus"]
+    ):
+        # focus_converge reports required size when capacity is truly
+        # short; a report at/below the current capacity means the converge
+        # loop hit max_iters without settling (oscillating decisions), and
+        # growing capacity cannot fix that
+        hint = (
+            " — focus overflow <= current capacity indicates focus"
+            " NON-CONVERGENCE (oscillating rebalance), not a capacity"
+            " shortfall; inspect bucket_size_focus / mandatory keys"
+        )
     raise RuntimeError(
-        f"sync still overflows after {max_retries} retries: caps={caps}"
+        f"sync still overflows after {max_retries} retries: caps={caps},"
+        f" last overflow_detail={detail.tolist()}{hint}"
     )
 
 
@@ -212,6 +235,7 @@ class Domain:
             box=box, assignment=assignment, global_tree=tree,
             focus_leaves=focus0.keys, focus_n=jnp.int32(1),
             first_call=jnp.bool_(True),
+            linked=build_linked_octree(focus0.keys, jnp.int32(1)),
         )
 
     # ------------------------------------------------------------------
@@ -265,7 +289,7 @@ class Domain:
                 state, x, y, z, h, properties, n_local, boundaries, grav
             )
         (box, keys, sort_order, xs, ys, zs, hs, props_s, tree, assignment,
-         n_local, valid) = self._common_assign(
+         n_local, valid, _tree_changed) = self._common_assign(
             state, x, y, z, h, properties, n_local, boundaries
         )
         dt = self.key_dtype
@@ -421,6 +445,7 @@ class Domain:
             focus_leaves=linked.leaves,
             focus_n=linked.n_leaf,
             first_call=jnp.bool_(False),
+            linked=linked,
         )
         result = SyncResult(
             keys=new_keys,
@@ -479,6 +504,20 @@ class Domain:
             maxs = jax.lax.pmax(
                 jnp.stack([jnp.max(xM), jnp.max(yM), jnp.max(zM)]), self.axis_name
             )
+        # open-boundary dims may shrink at most 5% of the previous length
+        # per step (limit_box_shrinking, box.hpp:415-431): one sparse step
+        # can otherwise collapse the box and thrash the SFC assignment
+        prev_mins = state.box.mins.astype(fdt)
+        prev_maxs = state.box.maxs.astype(fdt)
+        prev_len = prev_maxs - prev_mins
+        shrink = fdt.type(0.05)
+        limit_on = ~state.first_call
+        mins = jnp.where(
+            limit_on, jnp.minimum(mins, prev_mins + shrink * prev_len), mins
+        )
+        maxs = jnp.where(
+            limit_on, jnp.maximum(maxs, prev_maxs - shrink * prev_len), maxs
+        )
         # periodic/fixed dims keep previous limits unless first call
         keep = jnp.asarray([b != 0 for b in bnd])
         use_prev = keep & (~state.first_call)
@@ -508,7 +547,7 @@ class Domain:
         props_s = sorted_[6:]
 
         # ---- 3. global tree update (update_mpi.hpp:48-104) -----------------
-        tree = self._update_global_tree(state, keys, n_local)
+        tree, tree_changed = self._update_global_tree(state, keys, n_local)
 
         # ---- 4. assignment (domaindecomp.hpp:115-166) ----------------------
         assignment = make_sfc_assignment(
@@ -523,7 +562,7 @@ class Domain:
         )
         assignment = limit_boundary_shifts(old, assignment, tree.keys, tree.counts)
         return (box, keys, sort_order, xs, ys, zs, hs, props_s, tree,
-                assignment, n_local, valid)
+                assignment, n_local, valid, tree_changed)
 
     # ------------------------------------------------------------------
     def _p2p_caps(self, cap: int):
@@ -597,7 +636,7 @@ class Domain:
         move_cap, treelet_cap, halo_req_cap, halo_cap = self._p2p_caps(cap)
 
         (box, keys, sort_order, xs, ys, zs, hs, props_s, tree, assignment,
-         n_local, valid) = self._common_assign(
+         n_local, valid, tree_changed) = self._common_assign(
             state, x, y, z, h, properties, n_local, boundaries
         )
 
@@ -639,7 +678,15 @@ class Domain:
             and state.focus_leaves.shape[0] == tree.keys.shape[0]
         )
         if fast_focus:
-            linked = build_linked_octree(tree.keys, tree.n_nodes)
+            # warm steps where the rebalance decision reported "converged"
+            # reuse last step's linked structure — the leaf array is
+            # bit-identical, only counts changed (rebalanceStatus guard,
+            # octree_focus_mpi.hpp:669-677); saves the full one-pass build
+            linked = jax.lax.cond(
+                tree_changed | state.first_call,
+                lambda: build_linked_octree(tree.keys, tree.n_nodes),
+                lambda: state.linked,
+            )
             cap_leaf = linked.leaves.shape[0] - 1
             lif = jnp.arange(cap_leaf, dtype=jnp.int32)
             leaf_counts = jnp.where(
@@ -856,6 +903,7 @@ class Domain:
             focus_leaves=linked.leaves,
             focus_n=linked.n_leaf,
             first_call=jnp.bool_(False),
+            linked=linked,
         )
         result = SyncResult(
             keys=new_keys,
@@ -917,7 +965,11 @@ class Domain:
             return t2, ops2, conv2 | (nn > capacity)
 
         tree, _, _ = jax.lax.while_loop(cond, body, (tree0, ops0, conv0))
-        return tree
+        # conv0 == True means the warm tree's leaf array is already the
+        # fixed point: keys are bit-identical to state.global_tree.keys and
+        # downstream linked structure can be reused (csarray.hpp:430-448
+        # convergence short-circuit)
+        return tree, ~conv0
 
     # ------------------------------------------------------------------
     def exchange_halos(self, result: SyncResult, prop: jax.Array) -> jax.Array:

@@ -181,8 +181,8 @@ def ell_pack_scatter(
     SFC cell order to row-major — 8^level indices, negligible.
 
     Returns (packed arrays (n_cells, cap) each, valid, pidx, overflow):
-    pidx maps ELL slots back to sorted particle positions (INT_MAX-like
-    sentinel 2^24 in empty slots, sorts last), valid marks occupied slots.
+    pidx maps ELL slots back to sorted particle positions (INT32_MAX
+    sentinel in empty slots, sorts last), valid marks occupied slots.
     """
     n = keys_sorted.shape[0]
     dt = keys_sorted.dtype
@@ -192,7 +192,10 @@ def ell_pack_scatter(
     F = len(arrays)
     assert all(a.dtype == jnp.float32 for a in arrays)
 
-    cell = jnp.minimum((keys_sorted >> shift).astype(jnp.int32), jnp.int32(n_cells))
+    # clamp in the key dtype BEFORE the int32 cast: sentinel-padded keys at
+    # level == max_tree_level (shift 0) would otherwise wrap negative and
+    # pass the `cell < n_cells` validity check
+    cell = jnp.minimum(keys_sorted >> shift, dt.type(n_cells)).astype(jnp.int32)
     i = jnp.arange(n, dtype=jnp.int32)
     ok = cell < n_cells
     if n_valid is not None:
@@ -218,6 +221,74 @@ def ell_pack_scatter(
     pidx = scat(i, jnp.int32(np.iinfo(np.int32).max))
     valid = packed[0] != INVALID_COORD
     return packed, valid, pidx, overflow
+
+
+def ell_pack_gather(
+    keys_sorted: jax.Array,  # (n,) SFC-sorted particle keys
+    perm: jax.Array,  # (n_cells,) row-major -> SFC cell index
+    arrays: Tuple[jax.Array, ...],  # (n,) sorted f32 particle fields
+    cap: int,
+    level: int,
+    n_valid=None,
+) -> Tuple[Tuple[jax.Array, ...], jax.Array, jax.Array, jax.Array]:
+    """Run-window ELL pack: one stacked row gather over per-cell runs.
+
+    SFC-sorted particles are CONTIGUOUS per grid cell, so the pack is a
+    window copy per cell, not a scatter: cell starts come from one
+    searchsorted over the top key bits, and ALL fields ride a single
+    (n_cells*cap)-row gather of the stacked (n, F) array. Measured on TPU
+    (scripts/exp_pack.py, 1M/level-5/cap-64): ~21ms net vs ~35ms for the
+    scalar-scatter form (ell_pack_scatter) — scatters pay ~2x per index
+    and need one pass per field, the row gather pays once per slot. The
+    slot->particle backmap (pidx) is arithmetic (start + lane), no
+    scatter at all.
+
+    Same contract as ell_pack_scatter: returns (packed (n_cells, cap)
+    arrays in row-major cell order, valid, pidx with INT32_MAX in empty
+    slots, overflow).
+    """
+    n = keys_sorted.shape[0]
+    dt = keys_sorted.dtype
+    L = max_tree_level(dt)
+    shift = dt.type(3 * (L - level))
+    n_cells = 1 << (3 * level)
+    assert all(a.dtype == jnp.float32 for a in arrays)
+
+    # clamp in the key dtype BEFORE the int32 cast (sentinel keys at
+    # shift 0 would wrap negative); force slots past n_valid to the
+    # out-of-range cell so they fall out of every run
+    cell = jnp.minimum(keys_sorted >> shift, dt.type(n_cells)).astype(jnp.int32)
+    if n_valid is not None:
+        i = jnp.arange(n, dtype=jnp.int32)
+        cell = jnp.where(i < jnp.asarray(n_valid, jnp.int32), cell, n_cells)
+
+    bounds = _searchsorted_i32(cell, n_cells)
+    starts = bounds[:-1]
+    counts = bounds[1:] - starts
+    overflow = jnp.max(counts) > cap
+
+    s_rm = starts[perm]
+    c_rm = counts[perm]
+    j = jnp.arange(cap, dtype=jnp.int32)
+    idx = jnp.minimum(s_rm[:, None] + j[None, :], n - 1)  # (n_cells, cap)
+    valid = j[None, :] < c_rm[:, None]
+
+    stacked = jnp.stack(arrays, axis=-1)  # (n, F)
+    blk = stacked[idx]  # ONE row gather: n_cells*cap indices, F lanes each
+    blk = jnp.where(valid[:, :, None], blk, INVALID_COORD)
+    packed = tuple(blk[..., f] for f in range(len(arrays)))
+    pidx = jnp.where(valid, s_rm[:, None] + j[None, :], np.iinfo(np.int32).max)
+    return packed, valid, pidx, overflow
+
+
+def _searchsorted_i32(cell_sorted: jax.Array, n_cells: int) -> jax.Array:
+    """searchsorted(cell_sorted, arange(n_cells+1)) via the sort method
+    (ops/primitives.py rationale: multi-M scan-method searchsorted is
+    pathological on TPU; one fused sort is ~5ms/M)."""
+    from ..ops.primitives import searchsorted
+
+    q = jnp.arange(n_cells + 1, dtype=jnp.int32)
+    return searchsorted(cell_sorted, q, side="left").astype(jnp.int32)
 
 
 def _roll3(a: jax.Array, dx: int, dy: int, dz: int) -> jax.Array:
@@ -328,7 +399,6 @@ def cell_list_neighbor_counts(
     n_valid=None,
     impl: str = "xla",
     interpret: bool = False,
-    offsets: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """(n,) neighbor counts in sorted particle order + overflow flag.
 
@@ -338,13 +408,12 @@ def cell_list_neighbor_counts(
     `cap` particles and the result is invalid — retry with a larger cap.
     impl="pallas" uses the TPU kernel (ops/pallas_stencil.py; requires a
     lane-alignable cap, e.g. 64), impl="xla" the portable roll stencil.
-    `offsets` lets callers reuse a build_cell_table result at `level`.
+    No cell table is needed: the pack derives cells from the key bits.
     """
     n = keys_sorted.shape[0]
-    del offsets  # the scatter pack needs no cell table
     perm, inv = rowmajor_cell_perm(int(level), curve)
 
-    (px, py, pz, ph), valid, pidx, overflow = ell_pack_scatter(
+    (px, py, pz, ph), valid, pidx, overflow = ell_pack_gather(
         keys_sorted, perm, (xs, ys, zs, hs), cap, int(level), n_valid=n_valid
     )
     r2 = jnp.where(valid, (2.0 * ph) ** 2, jnp.float32(-1.0))

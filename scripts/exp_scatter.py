@@ -84,3 +84,95 @@ timeit(c, tgt, rows5, name="row5 sorted+unique")
 timeit(d, tgt, rows8, name="row8 sorted+unique")
 timeit(e, tgt, rows5, name="5x scalar scatter")
 timeit(f_gather_sorted, tgt, rows5, name="searchsorted gather")
+
+
+# --- round-3 additions: sort-based pack --------------------------------------
+# one-sort pack: concat particles (key = target slot) with per-slot fillers
+# whose key is the slot id if unoccupied else BIG (sorts past n_slots).
+# Keys are then unique; the first n_slots sorted outputs ARE the packed ELL.
+occ_np = np.zeros(n_slots, bool)
+occ_np[tgt_np] = True
+BIG = np.int32(2**31 - 1)
+filler_key_np = np.where(occ_np, BIG, np.arange(n_slots, dtype=np.int32))
+filler_key = jnp.asarray(filler_key_np)
+pidx = jnp.arange(n, dtype=jnp.int32)
+
+
+@jax.jit
+def g_sortpack(tgt, rows, filler_key, pidx):
+    keys = jnp.concatenate([tgt, filler_key])
+    ops = [keys]
+    for f in range(5):
+        ops.append(
+            jnp.concatenate([rows[:, f], jnp.zeros((n_slots,), jnp.float32)])
+        )
+    ops.append(jnp.concatenate([pidx, jnp.full((n_slots,), BIG)]))
+    out = jax.lax.sort(tuple(ops), num_keys=1, is_stable=False)
+    return tuple(o[:n_slots] for o in out[1:])
+
+
+@jax.jit
+def h_scalar_hints(tgt, rows):
+    outs = []
+    for f in range(5):
+        buf = jnp.zeros((n_slots,), jnp.float32)
+        outs.append(
+            buf.at[tgt].set(rows[:, f], mode="drop", indices_are_sorted=True,
+                            unique_indices=True)
+        )
+    return tuple(outs)
+
+
+@jax.jit
+def i_sort6_1m(tgt, rows, pidx):
+    # baseline scale reference: 6-operand sort at 1M
+    return jax.lax.sort(
+        (tgt, rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3], rows[:, 4]),
+        num_keys=1, is_stable=False,
+    )
+
+
+timeit(g_sortpack, tgt, rows5, filler_key, pidx, name="one-sort pack (3M x 7)")
+timeit(h_scalar_hints, tgt, rows5, name="5x scalar scatter hints")
+timeit(i_sort6_1m, tgt, rows5, pidx, name="sort6 1M reference")
+
+# correctness: sort pack equals scatter pack
+ref = np.zeros((n_slots, 5), np.float32)
+ref[tgt_np] = np.asarray(rows5)
+got = np.stack([np.asarray(o) for o in g_sortpack(tgt, rows5, filler_key, pidx)[:5]], -1)
+print("sortpack correct:", np.array_equal(ref, got), file=sys.stderr)
+
+
+# --- u64-packed scalar scatters: 2 u64 (x|y, z|h) + 1 i32 (pidx) ------------
+jax.config.update("jax_enable_x64", True)  # u64 needs x64 mode
+
+
+@jax.jit
+def j_u64_pack(tgt, rows, pidx):
+    xy = jax.lax.bitcast_convert_type(
+        jnp.stack([rows[:, 0], rows[:, 1]], -1), jnp.uint64
+    ).reshape(-1)
+    zh = jax.lax.bitcast_convert_type(
+        jnp.stack([rows[:, 2], rows[:, 3]], -1), jnp.uint64
+    ).reshape(-1)
+    b1 = jnp.zeros((n_slots,), jnp.uint64).at[tgt].set(xy, mode="drop")
+    b2 = jnp.zeros((n_slots,), jnp.uint64).at[tgt].set(zh, mode="drop")
+    b3 = jnp.full((n_slots,), BIG).at[tgt].set(pidx, mode="drop")
+    return b1, b2, b3
+
+
+@jax.jit
+def k_occupied_scatter(tgt):
+    return jnp.zeros((n_slots,), jnp.int32).at[tgt].set(1, mode="drop")
+
+
+timeit(j_u64_pack, tgt, rows5, pidx, name="2x u64 + 1x i32 scatter")
+timeit(k_occupied_scatter, tgt, name="1x occupied scatter")
+
+# u64 correctness
+b1, b2, b3 = j_u64_pack(tgt, rows5, pidx)
+xy = jax.lax.bitcast_convert_type(b1, jnp.uint32).view()
+xy = np.asarray(jax.lax.bitcast_convert_type(b1, jnp.float32))
+ref2 = np.zeros((n_slots, 2), np.float32)
+ref2[tgt_np] = np.asarray(rows5[:, :2])
+print("u64 pack correct:", np.array_equal(ref2, xy.reshape(n_slots, 2)), file=sys.stderr)

@@ -34,7 +34,7 @@ from cstone_tpu.tree.octree import build_linked_octree
 from cstone_tpu.traversal.celllist import (
     cell_list_neighbor_counts,
     choose_cell_level,
-    ell_pack_scatter,
+    ell_pack_gather,
     rowmajor_cell_perm,
 )
 from bench import default_cell_cap
@@ -149,11 +149,11 @@ def main():
 
     # ---- cell-list substages (on warm sync output) ----------------------
     perm, _ = rowmajor_cell_perm(cell_level)
-    pack_j = jax.jit(lambda k, xx, yy, zz, hh, nv: ell_pack_scatter(
+    pack_j = jax.jit(lambda k, xx, yy, zz, hh, nv: ell_pack_gather(
         k, perm, (xx, yy, zz, hh), cell_cap, cell_level, n_valid=nv))
     (packed, valid, pidx, ovf), t_pack = timeit(
         pack_j, res2.keys, res2.x, res2.y, res2.z, res2.h, res2.end_index,
-        name="  ell_pack_scatter")
+        name="  ell_pack_gather")
     px, py, pz, ph = packed
     r2 = jnp.where(valid, (2.0 * ph) ** 2, jnp.float32(-1.0))
     if impl == "pallas":

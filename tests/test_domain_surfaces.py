@@ -223,3 +223,85 @@ def test_sph_density_vs_oracle_single_rank():
     got = np.asarray(rho[:n])[order]
     want = rho_ref[order_ref]
     np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+def test_halos_class_matches_domain_inline_path():
+    """The standalone Halos state machine (halos/halos.py, reference
+    halos.hpp:107-268) must reproduce the Domain's inline halo path:
+    identical flags/layout and a correct per-field exchange."""
+    from cstone_tpu.halos.halos import Halos
+    from cstone_tpu.ops.primitives import searchsorted as _ss
+
+    pos, h, box = _global_setup(seed=77)
+    xl, mesh = _shard(pos[:, 0])
+    yl, _ = _shard(pos[:, 1])
+    zl, _ = _shard(pos[:, 2])
+    hl, _ = _shard(h)
+
+    def step(xl, yl, zl, hl):
+        rank = jax.lax.axis_index(rank_axis)
+        domain = Domain(
+            rank=rank, n_ranks=N_RANKS, bucket_size=16, bucket_size_focus=8,
+            key_dtype=jnp.uint64, tree_capacity=1024, focus_capacity=2048,
+            axis_name=rank_axis,
+        )
+        state = domain.init_state(box=box, boundaries=box.boundaries)
+        state, res = domain.sync(state, xl, yl, zl, hl, n_local=jnp.int32(N_PER))
+
+        # reconstruct the owned-sorted views the class consumes: slots past
+        # n_owned must carry the remove-key sentinel so okeys stays sorted
+        from cstone_tpu.sfc.keys import remove_key
+
+        n_owned = res.end_index - res.start_index
+        j0 = jnp.arange(CAP, dtype=jnp.int32)
+        okeys = jnp.where(
+            j0 < n_owned, jnp.roll(res.keys, -res.start_index),
+            remove_key(res.keys.dtype),
+        )
+        oh = jnp.roll(res.h, -res.start_index)
+        ox = jnp.roll(res.x, -res.start_index)
+        oy = jnp.roll(res.y, -res.start_index)
+        oz = jnp.roll(res.z, -res.start_index)
+        bnd = state.assignment.boundaries
+        first_leaf = _ss(res.tree.leaves, bnd[rank], side="left")[()]
+        last_leaf = _ss(res.tree.leaves, bnd[rank + 1], side="left")[()]
+
+        halos = Halos(n_ranks=N_RANKS, axis_name=rank_axis)
+        flags = halos.discover(
+            res.tree, oh, n_owned, okeys, first_leaf, last_leaf, box
+        )
+        flags_match = jnp.all(
+            flags.astype(jnp.int32) == res.halo_flags.astype(jnp.int32)
+        )
+        layout, start, end, rec = halos.compute_layout(
+            res.tree, res.leaf_counts, flags, first_leaf, last_leaf,
+            bnd, rank, okeys, n_owned, req_cap=256, halo_cap=1024,
+        )
+        layout_match = jnp.all(layout == res.layout)
+        idx_match = (start == res.start_index) & (end == res.end_index)
+
+        prop_owned = _g(ox, oy, oz)
+        filled = halos.exchange(prop_owned, jnp.zeros_like(res.x), rec)
+        j = jnp.arange(CAP, dtype=jnp.int32)
+        halo_slot = (j < res.n_with_halos) & (
+            (j < res.start_index) | (j >= res.end_index)
+        )
+        err = jnp.where(halo_slot, jnp.abs(filled - _g(res.x, res.y, res.z)), 0.0)
+        ok = flags_match & layout_match & idx_match
+        n_halo = jax.lax.psum(jnp.sum(halo_slot.astype(jnp.int32)), rank_axis)
+        return (
+            jax.lax.pmax(jnp.max(err), rank_axis),
+            jax.lax.pmin(ok.astype(jnp.int32), rank_axis),
+            n_halo,
+            jax.lax.pmax(jnp.maximum(res.overflow, rec.overflow), rank_axis),
+        )
+
+    fn = jax.jit(shard_map(
+        step, mesh=mesh, in_specs=(P(rank_axis),) * 4,
+        out_specs=(P(), P(), P(), P()), check_vma=False,
+    ))
+    max_err, ok, n_halo, ovf = fn(xl, yl, zl, hl)
+    assert int(ovf) == 0
+    assert int(ok) == 1, "flags/layout must match the Domain inline path"
+    assert int(n_halo) > 0
+    assert float(max_err) < 1e-5
