@@ -104,15 +104,15 @@ class SyncResult:
     overflow: jax.Array  # >0 if any capacity was exceeded
     ex_record: object = None  # p2p mode: parallel.exchange.ExchangeRecord
     halo_record: object = None  # p2p mode: parallel.exchange.HaloRecord
-    # (6,) int32 per-capacity overflow indicators, pmax'd across ranks:
+    # (7,) int32 per-capacity overflow indicators, pmax'd across ranks:
     # [local_buffer, tree_capacity, focus_capacity, move_cap,
-    #  treelet_cap, halo_caps] — each entry 0 or the required size (where
-    # known), so a host retry loop can grow precisely
+    #  treelet_cap, halo_caps, peer_window] — each entry 0 or the required
+    # size (where known), so a host retry loop can grow precisely
     # (util/reallocate.hpp:38-107 semantics)
     overflow_detail: jax.Array = None
 
 
-CAP_NAMES = ("local", "tree", "focus", "move", "treelet", "halo")
+CAP_NAMES = ("local", "tree", "focus", "move", "treelet", "halo", "window")
 
 
 def sync_with_retry(run_sync, caps: dict, max_retries: int = 4, growth: float = 1.6):
@@ -140,9 +140,9 @@ def sync_with_retry(run_sync, caps: dict, max_retries: int = 4, growth: float = 
         else:
             detail = np_.ones((len(CAP_NAMES),), np_.int64)  # grow everything
         for i, nm in enumerate(CAP_NAMES):
-            if detail[i] > 0:
+            if i < len(detail) and detail[i] > 0:
                 need = int(detail[i])
-                grown = int(caps[nm] * growth) + 8
+                grown = int(caps.get(nm, 0) * growth) + 8
                 caps[nm] = max(grown, need + 8)
     hint = ""
     focus_i = CAP_NAMES.index("focus")
@@ -194,6 +194,7 @@ class Domain:
         treelet_cap: int = 0,
         halo_req_cap: int = 0,
         halo_cap: int = 0,
+        peer_window: int = 0,
     ):
         self.rank = rank
         self.n_ranks = int(n_ranks)
@@ -215,6 +216,17 @@ class Domain:
         self.treelet_cap = int(treelet_cap)
         self.halo_req_cap = int(halo_req_cap)
         self.halo_cap = int(halo_cap)
+        # peer_window > 0 scopes the count-service and halo protocols to
+        # ranks within +-peer_window on the rank axis (SFC-surface peers,
+        # the findPeersMac bound, peers.hpp:63-117): buffers become
+        # (2W+1, cap) instead of (n_ranks, cap) and the exchanges ride
+        # ppermute rounds over ICI neighbors. Cells owned by ranks outside
+        # the window take their counts from the global tree (rangeCount,
+        # focus/rebalance.hpp:279-299). A too-small window is reported in
+        # overflow_detail[6] (the max rank offset actually needed) and
+        # grown by sync_with_retry like any other capacity. 0 = dense
+        # all_to_all over the full rank axis.
+        self.peer_window = min(int(peer_window), max(self.n_ranks - 1, 0))
 
     # ------------------------------------------------------------------
     def init_state(self, box: Optional[Box] = None, boundaries=(0, 0, 0)) -> DomainState:
@@ -575,11 +587,19 @@ class Domain:
         return move_cap, treelet_cap, halo_req_cap, halo_cap
 
     def _leaf_counts_service(
-        self, leaves, n_leaf, owned_keys, n_owned, boundaries, q_cap
+        self, leaves, n_leaf, owned_keys, n_owned, boundaries, q_cap,
+        global_tree: Optional[CsArray] = None,
     ):
-        """Exact per-leaf counts: local searchsorted for own cells, the
-        peer count service for everything else (updateCounts analog,
-        octree_focus_mpi.hpp:205-273). Returns (counts, overflow)."""
+        """Per-leaf counts (updateCounts analog, octree_focus_mpi.hpp:
+        205-273): local searchsorted for own cells, the peer count service
+        for foreign cells. With peer_window set, only cells owned by ranks
+        within the window are serviced exactly; cells beyond it take their
+        counts from the global tree (rangeCount, rebalance.hpp:279-299 —
+        far LET cells align with global cells, and where a transient
+        misalignment occurs the enclosing-range sum overcounts, which can
+        only delay a merge, never corrupt layout: layout counts are used
+        only for own + halo cells, and halo owners are required to sit
+        inside the window). Returns (counts, overflow)."""
         from ..parallel.exchange import range_count_service
 
         cap_leaf = leaves.shape[0] - 1
@@ -602,12 +622,39 @@ class Domain:
         )
         dest = jnp.clip(dest, 0, self.n_ranks - 1)
         mine = dest == me
+        W = self.peer_window or None
         foreign, ovf = range_count_service(
             a, b, dest, lvalid & (~mine), owned_keys, n_owned,
             self.n_ranks, q_cap, self.axis_name,
+            my_rank=me, window=W,
         )
         counts = jnp.where(mine & lvalid, local, foreign.astype(jnp.uint32))
+        if W is not None and global_tree is not None:
+            far = lvalid & (~mine) & (jnp.abs(dest - me) > W)
+            counts = jnp.where(
+                far,
+                self._global_range_counts(global_tree, a, b),
+                counts,
+            )
         return jnp.where(lvalid, counts, 0), ovf
+
+    def _global_range_counts(self, tree: CsArray, a, b):
+        """Counts of [a, b) key ranges summed from the global tree
+        (rangeCount, focus/rebalance.hpp:279-299). Exact when the range
+        aligns with global cell boundaries; otherwise the enclosing-range
+        sum (findNodeBelow/findNodeAbove semantics) overcounts."""
+        n_nodes = tree.n_nodes
+        gkeys = tree.keys
+        gi = jnp.arange(tree.counts.shape[0], dtype=jnp.int32)
+        gcounts = jnp.where(gi < n_nodes, tree.counts, 0)
+        csum = jnp.concatenate(
+            [jnp.zeros((1,), jnp.uint32), jnp.cumsum(gcounts, dtype=jnp.uint32)]
+        )
+        i0 = _searchsorted(gkeys, a, side="right").astype(jnp.int32) - 1
+        i1 = _searchsorted(gkeys, b, side="left").astype(jnp.int32)
+        i0 = jnp.clip(i0, 0, n_nodes)
+        i1 = jnp.clip(i1, i0, n_nodes)
+        return csum[i1] - csum[i0]
 
     # ------------------------------------------------------------------
     def _sync_p2p(
@@ -698,7 +745,7 @@ class Domain:
             def counts_fn(leaves, n_leaf):
                 return self._leaf_counts_service(
                     leaves, n_leaf, okeys, n_owned, assignment.boundaries,
-                    treelet_cap,
+                    treelet_cap, global_tree=tree,
                 )
 
             _, _, linked, node_counts_f, focus_conv_ovf, svc_ovf = focus_converge(
@@ -837,6 +884,7 @@ class Domain:
         new_props = tuple(place(p, p.dtype.type(0)) for p in oprops)
 
         # ---- 10. halo exchange of x, y, z, h (+props) -----------------------
+        win_need = jnp.int32(0)
         if single:
             halo_rec = None
             halo_ovf = jnp.int32(0)
@@ -851,10 +899,27 @@ class Domain:
             dest_leaf = jnp.clip(dest_leaf, 0, self.n_ranks - 1)
             lvalid = li < linked.n_leaf
             halo_req = (halo_flags.astype(bool)) & (~mine_leaf) & lvalid
+            W = self.peer_window or None
+            if W is not None:
+                # the exactness domain of the windowed protocols must cover
+                # every halo owner AND every MAC-relevant peer
+                # (peers.hpp:63-117); report the max offset actually needed
+                # so sync_with_retry can grow the window capacity
+                off = jnp.abs(dest_leaf - my_rank)
+                win_need = jnp.max(jnp.where(halo_req, off, 0)).astype(jnp.int32)
+                peers = find_peers_mac(
+                    my_rank, assignment, linked, box,
+                    _itm(self.theta), self.curve,
+                )
+                r_ids = jnp.arange(self.n_ranks, dtype=jnp.int32)
+                peer_off = jnp.where(peers > 0, jnp.abs(r_ids - my_rank), 0)
+                win_need = jnp.maximum(win_need, jnp.max(peer_off).astype(jnp.int32))
+                win_need = jnp.where(win_need > W, win_need, 0)
             halo_rec = build_halo_exchange(
                 linked.leaves[:-1], linked.leaves[1:], leaf_counts, layout,
                 halo_req, dest_leaf, okeys, n_owned, self.n_ranks,
                 halo_req_cap, halo_cap, self.axis_name,
+                my_rank=my_rank, window=W,
             )
             halo_ovf = halo_rec.overflow
             overflow = jnp.maximum(overflow, halo_rec.overflow)
@@ -884,6 +949,7 @@ class Domain:
         )
         local_ovf = jnp.where(n_with_halos > cap, n_with_halos, 0)
         overflow = jnp.maximum(overflow, jnp.maximum(tree_ovf, focus_ovf))
+        overflow = jnp.maximum(overflow, win_need)
         detail = jnp.stack([
             local_ovf.astype(jnp.int32),
             tree_ovf.astype(jnp.int32),
@@ -891,6 +957,7 @@ class Domain:
             jnp.asarray(move_ovf, jnp.int32),
             jnp.asarray(svc_ovf, jnp.int32),
             jnp.asarray(halo_ovf, jnp.int32),
+            win_need,
         ])
         if self.axis_name is not None:
             overflow = jax.lax.pmax(overflow, self.axis_name)

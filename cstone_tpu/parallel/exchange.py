@@ -19,7 +19,7 @@ identity).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -31,6 +31,8 @@ from ..sfc.keys import remove_key
 
 __all__ = [
     "all_to_all",
+    "windowed_exchange",
+    "dest_to_window_row",
     "pack_by_dest",
     "ExchangeRecord",
     "exchange_particles",
@@ -49,6 +51,52 @@ def all_to_all(x: jax.Array, axis_name: Optional[str]) -> jax.Array:
     if axis_name is None:
         return x
     return jax.lax.all_to_all(x, axis_name, split_axis=0, concat_axis=0, tiled=True)
+
+
+def windowed_exchange(
+    buf: jax.Array, axis_name: Optional[str], window: int, n_ranks: int
+) -> jax.Array:
+    """Peer-window counterpart of all_to_all (reference: the peer-scoped
+    P2P sends of exchange_focus.hpp:62-96 / exchange_keys.hpp:63-119,
+    bounded by findPeersMac, peers.hpp:63-117).
+
+    buf is (2*window+1, ...): row w holds the message for rank
+    me + (w - window). Returns the same shape where row w holds the
+    message FROM rank me + (w - window); rows whose source rank is out of
+    [0, n_ranks) are zero. Per-rank memory and traffic are O(window), not
+    O(n_ranks): each offset d rides one ppermute pair over the rank axis
+    (SFC-surface peers sit at small rank offsets because rank order IS
+    curve order).
+    """
+    W = int(window)
+    assert buf.shape[0] == 2 * W + 1
+    if axis_name is None or n_ranks == 1:
+        return buf
+    out = jnp.zeros_like(buf)
+    out = out.at[W].set(buf[W])  # self
+    R = n_ranks
+    for d in range(1, W + 1):
+        if d >= R:
+            break
+        # my row W+d (for rank me+d) travels +d; it arrives at me+d as the
+        # message from offset -d, i.e. their row W-d — and vice versa.
+        fwd = [(r, r + d) for r in range(R - d)]
+        bwd = [(r, r - d) for r in range(d, R)]
+        out = out.at[W - d].set(jax.lax.ppermute(buf[W + d], axis_name, fwd))
+        out = out.at[W + d].set(jax.lax.ppermute(buf[W - d], axis_name, bwd))
+    return out
+
+
+def dest_to_window_row(
+    dest: jax.Array, my_rank, window: int, n_ranks: int
+) -> Tuple[jax.Array, jax.Array]:
+    """(row, in_window): window-buffer row index for each destination rank
+    and whether it fits the window. Rows for out-of-window destinations
+    alias row 0 and must be masked by the caller."""
+    me = jnp.asarray(my_rank, jnp.int32)
+    off = dest.astype(jnp.int32) - me
+    in_win = (jnp.abs(off) <= window) & (dest >= 0) & (dest < n_ranks)
+    return jnp.where(in_win, off + window, 0), in_win
 
 
 def pack_by_dest(
@@ -205,6 +253,50 @@ def _serve_ranges(
     return pa, pb
 
 
+def _request_rows(
+    dest: jax.Array,
+    valid: jax.Array,
+    q_cap: int,
+    n_ranks: int,
+    my_rank,
+    window: Optional[int],
+):
+    """Shared request-buffer addressing for the range services.
+
+    Returns (rows, row, col, ok, exchange, overflow): `rows` is the buffer
+    row count (n_ranks dense / 2*window+1 windowed), `row`/`col` the
+    scatter coordinates of each valid in-window query, `ok` its mask,
+    `exchange` the collective over (rows, ...) buffers, and `overflow` the
+    q_cap shortfall. Out-of-window queries are masked out (callers decide
+    whether that requires a window growth — e.g. Domain tracks the needed
+    window across all protocols).
+    """
+    R = n_ranks
+    row_dense, col = pack_by_dest(dest, valid, R)
+    per_dest = jax.ops.segment_sum(
+        valid.astype(jnp.int32), jnp.where(valid, dest, R), num_segments=R + 1
+    )
+    overflow = jnp.where(
+        jnp.max(per_dest[:R]) > q_cap, jnp.max(per_dest[:R]), 0
+    ).astype(jnp.int32)
+    if window is None:
+        rows = R
+
+        def exchange(buf, axis_name):
+            return all_to_all(buf, axis_name)
+
+        return rows, row_dense, col, valid & (col < q_cap), exchange, overflow
+    W = int(window)
+    rows = 2 * W + 1
+    wrow, in_win = dest_to_window_row(dest, my_rank, W, R)
+    ok = valid & in_win & (col < q_cap)
+
+    def exchange(buf, axis_name):
+        return windowed_exchange(buf, axis_name, W, R)
+
+    return rows, wrow, col, ok, exchange, overflow
+
+
 def range_count_service(
     query_a: jax.Array,  # (Q,) range start keys, sorted by dest
     query_b: jax.Array,  # (Q,) range end keys
@@ -215,41 +307,38 @@ def range_count_service(
     n_ranks: int,
     q_cap: int,
     axis_name: Optional[str],
+    my_rank=None,
+    window: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact particle counts of key ranges owned by other ranks.
 
     The TPU analog of the focus tree's peer count exchange
     (octree_focus_mpi.hpp:205-273 updateCounts + exchange_focus.hpp
     exchangeTreeletGeneral): every rank asks each range's owner to count it
-    against the owner's sorted particle keys — two all_to_alls.
+    against the owner's sorted particle keys — two exchange rounds. With
+    `window` set, buffers are (2*window+1, q_cap) and the exchange rides
+    ppermute rounds over the SFC-surface peer window (peers.hpp:63-117
+    scoping); out-of-window queries return 0 and must be handled by the
+    caller (Domain routes them to global-tree counts, rebalance.hpp:279-299).
 
     Returns (counts (Q,) int32 — zero for invalid queries, overflow int32).
     """
-    Q = query_a.shape[0]
-    R = n_ranks
     dt = query_a.dtype
-    row, col = pack_by_dest(dest, valid, R)
-    ok = valid & (col < q_cap)
-    per_dest = jax.ops.segment_sum(
-        valid.astype(jnp.int32), jnp.where(valid, dest, R), num_segments=R + 1
+    rows, row, col, ok, exchange, overflow = _request_rows(
+        dest, valid, q_cap, n_ranks, my_rank, window
     )
-    overflow = jnp.where(
-        jnp.max(per_dest[:R]) > q_cap, jnp.max(per_dest[:R]), 0
-    ).astype(jnp.int32)
 
-    buf_a = jnp.zeros((R, q_cap), dt)
-    buf_b = jnp.zeros((R, q_cap), dt)
-    rr = jnp.where(ok, row, R)
+    rr = jnp.where(ok, row, rows)
     cc = jnp.where(ok, col, 0)
-    buf_a = buf_a.at[rr, cc].set(query_a, mode="drop")
-    buf_b = buf_b.at[rr, cc].set(query_b, mode="drop")
+    buf_a = jnp.zeros((rows, q_cap), dt).at[rr, cc].set(query_a, mode="drop")
+    buf_b = jnp.zeros((rows, q_cap), dt).at[rr, cc].set(query_b, mode="drop")
 
-    req_a = all_to_all(buf_a, axis_name)
-    req_b = all_to_all(buf_b, axis_name)
+    req_a = exchange(buf_a, axis_name)
+    req_b = exchange(buf_b, axis_name)
     pa, pb = _serve_ranges(req_a, req_b, served_keys, n_served)
-    resp = all_to_all(pb - pa, axis_name)  # (R, q_cap) counts back
+    resp = exchange(pb - pa, axis_name)  # (rows, q_cap) counts back
 
-    counts = jnp.where(ok, resp[jnp.minimum(row, R - 1), cc], 0)
+    counts = jnp.where(ok, resp[jnp.minimum(row, rows - 1), cc], 0)
     return counts.astype(jnp.int32), overflow
 
 
@@ -264,32 +353,29 @@ def range_sum_service(
     n_ranks: int,
     q_cap: int,
     axis_name: Optional[str],
+    my_rank=None,
+    window: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact per-range sums of particle values owned by other ranks — the
     quantity exchange used for LET mass centers (exchange_focus.hpp:290-344,
-    octree_focus_mpi.hpp:369-449 updateCenters).
+    octree_focus_mpi.hpp:369-449 updateCenters). `window` scopes buffers and
+    traffic to the peer window as in range_count_service.
 
     Returns (sums (Q, V) — zero for invalid queries, overflow int32).
     """
-    R = n_ranks
     V = served_values.shape[1]
     dt = query_a.dtype
-    row, col = pack_by_dest(dest, valid, R)
-    ok = valid & (col < q_cap)
-    per_dest = jax.ops.segment_sum(
-        valid.astype(jnp.int32), jnp.where(valid, dest, R), num_segments=R + 1
+    rows, row, col, ok, exchange, overflow = _request_rows(
+        dest, valid, q_cap, n_ranks, my_rank, window
     )
-    overflow = jnp.where(
-        jnp.max(per_dest[:R]) > q_cap, jnp.max(per_dest[:R]), 0
-    ).astype(jnp.int32)
 
-    rr = jnp.where(ok, row, R)
+    rr = jnp.where(ok, row, rows)
     cc = jnp.where(ok, col, 0)
-    buf_a = jnp.zeros((R, q_cap), dt).at[rr, cc].set(query_a, mode="drop")
-    buf_b = jnp.zeros((R, q_cap), dt).at[rr, cc].set(query_b, mode="drop")
+    buf_a = jnp.zeros((rows, q_cap), dt).at[rr, cc].set(query_a, mode="drop")
+    buf_b = jnp.zeros((rows, q_cap), dt).at[rr, cc].set(query_b, mode="drop")
 
-    req_a = all_to_all(buf_a, axis_name)
-    req_b = all_to_all(buf_b, axis_name)
+    req_a = exchange(buf_a, axis_name)
+    req_b = exchange(buf_b, axis_name)
     pa, pb = _serve_ranges(req_a, req_b, served_keys, n_served)
 
     # prefix sums over served values -> range sums are two gathers
@@ -300,10 +386,10 @@ def range_sum_service(
     scan = jnp.concatenate(
         [jnp.zeros((1, V), vals.dtype), jnp.cumsum(vals, axis=0)], axis=0
     )
-    sums = scan[pb] - scan[pa]  # (R, q_cap, V)
-    resp = all_to_all(sums, axis_name)
+    sums = scan[pb] - scan[pa]  # (rows, q_cap, V)
+    resp = exchange(sums, axis_name)
 
-    out = jnp.where(ok[:, None], resp[jnp.minimum(row, R - 1), cc], 0)
+    out = jnp.where(ok[:, None], resp[jnp.minimum(row, rows - 1), cc], 0)
     return out, overflow
 
 
@@ -317,13 +403,17 @@ def range_sum_service(
 class HaloRecord:
     """Recorded halo exchange pattern: owner-side gathers and receiver-side
     scatters for one sync epoch. Every exchange_halo_field call replays it
-    (the reference re-uses its SendList the same way, halos.hpp:232-251)."""
+    (the reference re-uses its SendList the same way, halos.hpp:232-251).
+    Rows span the full rank axis (dense) or the 2*window+1 peer window;
+    `window` is static and marks which exchange routes the replay."""
 
-    send_idx: jax.Array  # (R, halo_cap) int32 gather into owned-sorted arrays
-    send_valid: jax.Array  # (R, halo_cap) bool
-    recv_idx: jax.Array  # (R, halo_cap) int32 scatter into local layout buffers
-    recv_valid: jax.Array  # (R, halo_cap) bool
+    send_idx: jax.Array  # (rows, halo_cap) int32 gather into owned-sorted arrays
+    send_valid: jax.Array  # (rows, halo_cap) bool
+    recv_idx: jax.Array  # (rows, halo_cap) int32 scatter into local layout buffers
+    recv_valid: jax.Array  # (rows, halo_cap) bool
     overflow: jax.Array  # int32
+    window: Optional[int] = field(default=None, metadata=dict(static=True))
+    n_ranks: int = field(default=0, metadata=dict(static=True))
 
 
 def build_halo_exchange(
@@ -339,35 +429,34 @@ def build_halo_exchange(
     req_cap: int,
     halo_cap: int,
     axis_name: Optional[str],
+    my_rank=None,
+    window: Optional[int] = None,
 ) -> HaloRecord:
     """One round of the request-keys protocol (exchange_keys.hpp:63-119):
     send requested key ranges to their owners; owners translate them to
     index ranges of their sorted particles. Returns the send/recv pattern
     for this epoch; particles themselves move in exchange_halo_field.
+    With `window` set, the request and particle buffers span 2*window+1
+    peer rows instead of the rank axis (halo owners are SFC-surface peers,
+    peers.hpp:63-117); out-of-window requests are dropped and must be
+    flagged by the caller as a window shortfall.
     """
     R = n_ranks
     dt = leaf_a.dtype
     cap_leaf = leaf_a.shape[0]
 
-    row, col = pack_by_dest(owner, halo_request, R)
-    ok = halo_request & (col < req_cap)
-    per_dest = jax.ops.segment_sum(
-        halo_request.astype(jnp.int32),
-        jnp.where(halo_request, owner, R),
-        num_segments=R + 1,
+    rows, row, col, ok, exchange, overflow = _request_rows(
+        owner, halo_request, req_cap, R, my_rank, window
     )
-    overflow = jnp.where(
-        jnp.max(per_dest[:R]) > req_cap, jnp.max(per_dest[:R]), 0
-    ).astype(jnp.int32)
 
-    rr = jnp.where(ok, row, R)
+    rr = jnp.where(ok, row, rows)
     cc = jnp.where(ok, col, 0)
-    buf_a = jnp.zeros((R, req_cap), dt).at[rr, cc].set(leaf_a, mode="drop")
-    buf_b = jnp.zeros((R, req_cap), dt).at[rr, cc].set(leaf_b, mode="drop")
+    buf_a = jnp.zeros((rows, req_cap), dt).at[rr, cc].set(leaf_a, mode="drop")
+    buf_b = jnp.zeros((rows, req_cap), dt).at[rr, cc].set(leaf_b, mode="drop")
 
-    req_a = all_to_all(buf_a, axis_name)
-    req_b = all_to_all(buf_b, axis_name)
-    pa, pb = _serve_ranges(req_a, req_b, served_keys, n_served)  # (R, req_cap)
+    req_a = exchange(buf_a, axis_name)
+    req_b = exchange(buf_b, axis_name)
+    pa, pb = _serve_ranges(req_a, req_b, served_keys, n_served)  # (rows, req_cap)
 
     # ---- owner side: pack requested ranges into (R, halo_cap) gathers ----
     send_idx, send_valid, send_ovf = _segment_fill(pa, pb - pa, halo_cap)
@@ -388,6 +477,8 @@ def build_halo_exchange(
         recv_idx=recv_idx,
         recv_valid=recv_valid,
         overflow=overflow,
+        window=None if window is None else int(window),
+        n_ranks=R,
     )
 
 
@@ -429,11 +520,14 @@ def exchange_halo_field(
     axis_name: Optional[str],
 ) -> jax.Array:
     """Move one field's halo values (exchange_halos.hpp:28-93): owner-side
-    gather, one all_to_all, receiver-side scatter into layout slots."""
-    R = rec.send_idx.shape[0]
+    gather, one exchange round (all_to_all or peer-window ppermutes, per
+    the record), receiver-side scatter into layout slots."""
     cap = owned_sorted.shape[0]
     safe_idx = jnp.clip(rec.send_idx, 0, cap - 1)
     send = jnp.where(rec.send_valid, owned_sorted[safe_idx], 0)
-    recv = all_to_all(send, axis_name)
+    if rec.window is None:
+        recv = all_to_all(send, axis_name)
+    else:
+        recv = windowed_exchange(send, axis_name, rec.window, rec.n_ranks)
     tgt = jnp.where(rec.recv_valid, rec.recv_idx, local_buf.shape[0])
     return local_buf.at[tgt].set(recv, mode="drop")

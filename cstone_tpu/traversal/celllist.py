@@ -243,6 +243,16 @@ def ell_pack_gather(
     slot->particle backmap (pidx) is arithmetic (start + lane), no
     scatter at all.
 
+    The windows ride an 8-PARTICLE-BLOCK gather + shift-select rather than
+    a per-slot gather: XLA TPU gathers cost per *index*, so fetching
+    (cap/8 + 1) rows of 8 stacked particles per cell costs n_cells*(cap/8+1)
+    indices (295k at 1M/level-5/cap-64 — 6.8x fewer than the 2M slot
+    gather), then each cell's window is realigned to its run start with an
+    8-way static-slice lane select (off = start % 8), which XLA fuses into
+    one elementwise pass. Measured on TPU (scripts/exp_pack.py): ~8ms net
+    including the searchsorted, vs ~17ms for the per-slot row gather and
+    ~29ms for the scalar-scatter form.
+
     Same contract as ell_pack_scatter: returns (packed (n_cells, cap)
     arrays in row-major cell order, valid, pidx with INT32_MAX in empty
     slots, overflow).
@@ -252,6 +262,7 @@ def ell_pack_gather(
     L = max_tree_level(dt)
     shift = dt.type(3 * (L - level))
     n_cells = 1 << (3 * level)
+    F = len(arrays)
     assert all(a.dtype == jnp.float32 for a in arrays)
 
     # clamp in the key dtype BEFORE the int32 cast (sentinel keys at
@@ -269,14 +280,35 @@ def ell_pack_gather(
 
     s_rm = starts[perm]
     c_rm = counts[perm]
-    j = jnp.arange(cap, dtype=jnp.int32)
-    idx = jnp.minimum(s_rm[:, None] + j[None, :], n - 1)  # (n_cells, cap)
-    valid = j[None, :] < c_rm[:, None]
 
-    stacked = jnp.stack(arrays, axis=-1)  # (n, F)
-    blk = stacked[idx]  # ONE row gather: n_cells*cap indices, F lanes each
-    blk = jnp.where(valid[:, :, None], blk, INVALID_COORD)
-    packed = tuple(blk[..., f] for f in range(len(arrays)))
+    # stacked 8-particle rows, padded so every cell's (cap/8 + 1)-row
+    # window stays in bounds with INVALID fill
+    pad = cap + 8 + (-(n + cap + 8)) % 8
+    stacked8 = jnp.stack(
+        [jnp.concatenate([a, jnp.full((pad,), INVALID_COORD, jnp.float32)])
+         for a in arrays],
+        axis=-1,
+    ).reshape(-1, 8 * F)
+    nrow8 = stacked8.shape[0]
+
+    nr = (cap + 7) // 8 + 1  # covers cap slots at any run offset 0..7
+    r = jnp.arange(nr, dtype=jnp.int32)
+    rows = jnp.minimum((s_rm // 8)[:, None] + r[None, :], nrow8 - 1)
+    blk = stacked8[rows].reshape(n_cells, nr * 8 * F)
+    off = s_rm % 8
+    out = jnp.zeros((n_cells, cap * F), jnp.float32)
+    for k in range(8):
+        out = jnp.where(
+            (off == k)[:, None],
+            jax.lax.slice_in_dim(blk, F * k, F * k + cap * F, axis=1),
+            out,
+        )
+    blk4 = out.reshape(n_cells, cap, F)
+
+    j = jnp.arange(cap, dtype=jnp.int32)
+    valid = j[None, :] < c_rm[:, None]
+    blk4 = jnp.where(valid[:, :, None], blk4, INVALID_COORD)
+    packed = tuple(blk4[..., f] for f in range(F))
     pidx = jnp.where(valid, s_rm[:, None] + j[None, :], np.iinfo(np.int32).max)
     return packed, valid, pidx, overflow
 

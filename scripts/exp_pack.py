@@ -114,8 +114,55 @@ def slice_pack_take(cell, stacked):
 
 
 @jax.jit
+def row8_pack(cell, stacked8):
+    # 8-row-block gather + static shift-select: XLA TPU gathers cost per
+    # INDEX, so fetch (cap/8 + 1) 8-particle rows per cell (n_cells * 9 =
+    # 295k indices, 6.8x fewer than the 2M slot gather), then realign each
+    # cell's window to its run start with an 8-way static-slice select on
+    # the lane axis (off = starts % 8).
+    starts = jnp.searchsorted(
+        cell, jnp.arange(n_cells, dtype=jnp.int32), side="left", method="sort"
+    ).astype(jnp.int32)
+    ends = jnp.concatenate([starts[1:], jnp.full((1,), n, jnp.int32)])
+    counts = ends - starts
+    s_rm = starts[perm]
+    c_rm = counts[perm]
+    nrow8 = stacked8.shape[0]
+    r = jnp.arange(cap // 8 + 1, dtype=jnp.int32)
+    rows = jnp.minimum((s_rm // 8)[:, None] + r[None, :], nrow8 - 1)
+    blk = stacked8[rows].reshape(n_cells, (cap // 8 + 1) * 32)
+    off = s_rm % 8
+    out = jnp.zeros((n_cells, cap * 4), jnp.float32)
+    for k in range(8):
+        out = jnp.where(
+            (off == k)[:, None], jax.lax.slice_in_dim(blk, 4 * k, 4 * k + cap * 4, axis=1), out
+        )
+    blk4 = out.reshape(n_cells, cap, 4)
+    j = jnp.arange(cap, dtype=jnp.int32)
+    valid = j[None, :] < c_rm[:, None]
+    blk4 = jnp.where(valid[:, :, None], blk4, INVALID)
+    pidx = jnp.where(valid, s_rm[:, None] + j[None, :], np.iinfo(np.int32).max)
+    overflow = jnp.max(counts) > cap
+    return blk4[..., 0], blk4[..., 1], blk4[..., 2], blk4[..., 3], pidx, overflow
+
+
+@jax.jit
 def stack4(xs, ys, zs, hs):
     return jnp.stack([xs, ys, zs, hs], axis=-1)
+
+
+@jax.jit
+def stack8(xs, ys, zs, hs):
+    # (n_pad8/8, 32): 8 particles x 4 interleaved fields per row
+    pad8 = (-n) % 8 + 8
+    s = jnp.stack(
+        [
+            jnp.concatenate([a, jnp.full((pad8,), INVALID, jnp.float32)])
+            for a in (xs, ys, zs, hs)
+        ],
+        axis=-1,
+    )
+    return s.reshape(-1, 32)
 
 
 @jax.jit
@@ -130,6 +177,8 @@ timeit(searchsorted_only, cell, name="searchsorted 32k into 1M")
 timeit(scatter_pack, cell, xs, ys, zs, hs, name="scatter pack (current, 5x)")
 out = timeit(slice_pack, cell, stacked, name="slice pack (32k dyn-slices)")
 timeit(slice_pack_take, cell, stacked, name="flat 2M-row gather pack")
+stacked8 = timeit(stack8, xs, ys, zs, hs, name="stack8 (n/8,32)")
+out8 = timeit(row8_pack, cell, stacked8, name="row8 pack (295k row gather)")
 
 # correctness: slice pack equals scatter pack on occupied slots
 ref = scatter_pack(cell, xs, ys, zs, hs)
@@ -140,5 +189,13 @@ occ = px_r != INVALID
 print(
     "slice pack matches scatter pack:",
     np.array_equal(px_r[occ], px_g[occ]) and np.array_equal(px_g != INVALID, occ),
+    file=sys.stderr,
+)
+px8, py8, pz8, ph8, pidx8, ovf8 = (np.asarray(o) for o in out8)
+print(
+    "row8 pack matches scatter pack:",
+    np.array_equal(px_r[occ], px8[occ])
+    and np.array_equal(px8 != INVALID, occ)
+    and np.array_equal(np.asarray(ref[3])[occ], ph8[occ]),
     file=sys.stderr,
 )
