@@ -656,6 +656,115 @@ class Domain:
         i1 = jnp.clip(i1, i0, n_nodes)
         return csum[i1] - csum[i0]
 
+    def _expansion_centers(
+        self, linked, okeys, ox, oy, oz, om, n_owned, boundaries,
+        treelet_cap, box,
+    ):
+        """Exact global mass centers + squared vector-MAC radii per focus
+        node (updateCenters + setMacRadius, octree_focus_mpi.hpp:369-531):
+        own leaves from local owned particles, foreign leaves via the
+        range-sum service (the globalFocusExchange analog) — scoped to the
+        peer window when one is set; cells beyond the window are non-peers
+        by the MAC criterion, so their zero-mass placeholder centers never
+        participate in halo discovery. Returns (centers (n_nodes, 4) —
+        x, y, z, mass; mac_spheres (n_nodes, 4) — x, y, z, squared
+        vector-MAC radius; overflow)."""
+        from ..focus.source_center import set_mac_radii, upsweep_centers
+        from ..parallel.exchange import range_sum_service
+
+        cap = okeys.shape[0]
+        cap_leaf = linked.leaves.shape[0] - 1
+        my_rank = jnp.asarray(self.rank, jnp.int32)
+        li = jnp.arange(cap_leaf, dtype=jnp.int32)
+
+        w = jnp.abs(om)
+        vals = jnp.stack([w * ox, w * oy, w * oz, w], axis=-1)
+        leaf_off = _searchsorted(okeys, linked.leaves, side="left")
+        leaf_off = jnp.minimum(leaf_off, jnp.asarray(n_owned, jnp.int32))
+        pseg = segment_ids_from_offsets(leaf_off, cap, cap_leaf)
+        ow_valid = (jnp.arange(cap, dtype=jnp.int32) < n_owned)[:, None]
+        leaf_acc_local = jax.ops.segment_sum(
+            jnp.where(ow_valid, vals, 0.0), pseg,
+            num_segments=cap_leaf, indices_are_sorted=True,
+        )
+        if self.n_ranks == 1:
+            leaf_acc = leaf_acc_local
+            sum_ovf = jnp.int32(0)
+        else:
+            a = linked.leaves[:-1]
+            b = linked.leaves[1:]
+            dest = (
+                jnp.searchsorted(boundaries, a, side="right")
+                .astype(jnp.int32) - 1
+            )
+            dest = jnp.clip(dest, 0, self.n_ranks - 1)
+            lvalid = li < linked.n_leaf
+            foreign_sums, sum_ovf = range_sum_service(
+                a, b, dest, lvalid & (dest != my_rank), okeys, n_owned, vals,
+                self.n_ranks, treelet_cap, self.axis_name,
+                my_rank=my_rank, window=self.peer_window or None,
+            )
+            leaf_acc = jnp.where(
+                (dest == my_rank)[:, None], leaf_acc_local, foreign_sums
+            )
+        mass = leaf_acc[:, 3:4]
+        inv = jnp.where(mass != 0, 1.0 / jnp.where(mass != 0, mass, 1.0), 1.0)
+        leaf_centers = jnp.concatenate([leaf_acc[:, :3] * inv, mass], axis=-1)
+        node_centers = upsweep_centers(linked, leaf_centers)
+        centers4 = set_mac_radii(
+            linked, node_centers, 1.0 / self.theta, box, self.curve
+        )
+        return node_centers, centers4, sum_ovf
+
+    def update_expansion_centers(
+        self, state: DomainState, result: SyncResult, m: jax.Array
+    ):
+        """Public expansion-center maintenance between syncs — the
+        reference's focusTree.updateCenters + setMacRadius + updateMacs
+        sequence (octree_focus_mpi.hpp:369-531) exposed without grav=True,
+        so gravity clients can refresh multipole acceptance data after
+        mass/position updates that don't warrant a full sync.
+
+        m: (local_capacity,) mass in the result's layout order (e.g. a
+        synced property or a reapply_sync'd field; halo slots are ignored
+        — foreign cells are summed exactly by their owners).
+
+        Returns (centers (n_nodes, 4) — x, y, z, mass per focus node;
+        mac_spheres (n_nodes, 4) — x, y, z and the squared vector-MAC
+        radius (setMacRadius form); mac_flags (cap_leaf,) int32 leaf
+        MAC-failure flags relative to my focus range; overflow int32).
+        Call inside shard_map when n_ranks > 1.
+        """
+        from ..traversal.macs import mark_macs
+
+        linked = result.tree
+        cap = result.keys.shape[0]
+        j = jnp.arange(cap, dtype=jnp.int32)
+        take = jnp.clip(result.start_index + j, 0, cap - 1)
+        n_owned = result.end_index - result.start_index
+        rk = remove_key(self.key_dtype)
+        okeys = jnp.where(j < n_owned, result.keys[take], rk)
+        zero = result.x.dtype.type(0)
+        ox = jnp.where(j < n_owned, result.x[take], zero)
+        oy = jnp.where(j < n_owned, result.y[take], zero)
+        oz = jnp.where(j < n_owned, result.z[take], zero)
+        om = jnp.where(j < n_owned, m[take], m.dtype.type(0))
+
+        _, treelet_cap, _, _ = self._p2p_caps(cap)
+        boundaries = state.assignment.boundaries
+        my_rank = jnp.asarray(self.rank, jnp.int32)
+        centers, mac_spheres, ovf = self._expansion_centers(
+            linked, okeys, ox, oy, oz, om, n_owned, boundaries,
+            treelet_cap, state.box,
+        )
+        mac_marks = mark_macs(
+            linked, mac_spheres, state.box,
+            boundaries[my_rank], boundaries[my_rank + 1],
+            linked.leaves, linked.n_leaf, limit_source=False,
+            curve=self.curve,
+        )
+        return centers, mac_spheres, mac_marks[linked.leaf_order()], ovf
+
     # ------------------------------------------------------------------
     def _sync_p2p(
         self, state, x, y, z, h, properties, n_local, boundaries, grav
@@ -808,41 +917,13 @@ class Domain:
             # vector-MAC halo augmentation from exact mass centers: own
             # cells local, peer cells via the sum service (updateCenters,
             # octree_focus_mpi.hpp:369-449 + addMacs :601-610)
-            from ..focus.source_center import set_mac_radii, upsweep_centers
-            from ..parallel.exchange import range_sum_service
             from ..traversal.macs import mark_macs
 
-            om = oprops[0]
-            w = jnp.abs(om)
-            vals = jnp.stack([w * ox, w * oy, w * oz, w], axis=-1)
-            ow_valid = (jnp.arange(cap, dtype=jnp.int32) < n_owned)[:, None]
-            leaf_acc_local = jax.ops.segment_sum(
-                jnp.where(ow_valid, vals, 0.0), pseg,
-                num_segments=cap_leaf, indices_are_sorted=True,
-            )
-            a = linked.leaves[:-1]
-            b = linked.leaves[1:]
-            dest = (
-                jnp.searchsorted(assignment.boundaries, a, side="right")
-                .astype(jnp.int32) - 1
-            )
-            dest = jnp.clip(dest, 0, self.n_ranks - 1)
-            lvalid = li < linked.n_leaf
-            foreign_sums, sum_ovf = range_sum_service(
-                a, b, dest, lvalid & (dest != my_rank), okeys, n_owned, vals,
-                self.n_ranks, treelet_cap, self.axis_name,
+            _, centers4, sum_ovf = self._expansion_centers(
+                linked, okeys, ox, oy, oz, oprops[0], n_owned,
+                assignment.boundaries, treelet_cap, box,
             )
             overflow = jnp.maximum(overflow, sum_ovf)
-            leaf_acc = jnp.where(
-                (dest == my_rank)[:, None], leaf_acc_local, foreign_sums
-            )
-            mass = leaf_acc[:, 3:4]
-            inv = jnp.where(mass != 0, 1.0 / jnp.where(mass != 0, mass, 1.0), 1.0)
-            leaf_centers = jnp.concatenate([leaf_acc[:, :3] * inv, mass], axis=-1)
-            node_centers = upsweep_centers(linked, leaf_centers)
-            centers4 = set_mac_radii(
-                linked, node_centers, 1.0 / self.theta, box, self.curve
-            )
             mac_marks = mark_macs(
                 linked, centers4, box, focus_start, focus_end,
                 linked.leaves, linked.n_leaf, limit_source=False,

@@ -462,10 +462,13 @@ def build_halo_exchange(
     send_idx, send_valid, send_ovf = _segment_fill(pa, pb - pa, halo_cap)
 
     # ---- receiver side: scatter targets from layout ----------------------
-    starts = jnp.zeros((R, req_cap), jnp.int32).at[rr, cc].set(
+    # responses return on the same buffer row the request went out on, so
+    # the scatter-target map uses the (rows, req_cap) protocol layout —
+    # dense rows == n_ranks, windowed rows == 2*window+1
+    starts = jnp.zeros((rows, req_cap), jnp.int32).at[rr, cc].set(
         layout[jnp.arange(cap_leaf, dtype=jnp.int32)], mode="drop"
     )
-    lens = jnp.zeros((R, req_cap), jnp.int32).at[rr, cc].set(
+    lens = jnp.zeros((rows, req_cap), jnp.int32).at[rr, cc].set(
         leaf_counts.astype(jnp.int32), mode="drop"
     )
     recv_idx, recv_valid, recv_ovf = _segment_fill(starts, lens, halo_cap)
