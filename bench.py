@@ -83,11 +83,27 @@ def main_sync():
     n = int(os.environ.get("BENCH_N", 1_000_000))
     bucket = int(os.environ.get("BENCH_BUCKET", 64))
     focus_bucket = int(os.environ.get("BENCH_FOCUS_BUCKET", 64))
-    h_val = float(os.environ.get("BENCH_H", 0.012))
+    _h_env = os.environ.get("BENCH_H", "0.012")
+    h_val = 0.012 if _h_env == "adaptive" else float(_h_env)
     reps = int(os.environ.get("BENCH_REPS", 5))
+    # BENCH_DIST=uniform|gauss|plummer — the reference's perf workloads
+    # (random.hpp RandomGaussianCoordinates, plummer.hpp; octree.cpp:45-72)
+    dist = os.environ.get("BENCH_DIST", "uniform")
 
     rng = np.random.RandomState(42)
-    pos = rng.uniform(0.0, 1.0, size=(n, 3)).astype(np.float32)
+    if dist == "gauss":
+        from cstone_tpu.utils.workloads import gaussian_coords
+
+        pos = gaussian_coords(n, (0.0, 1.0, 0.0, 1.0, 0.0, 1.0), seed=42)
+    elif dist == "plummer":
+        from cstone_tpu.utils.workloads import plummer_coords
+
+        p = plummer_coords(n, seed=42)
+        # rescale the central 99.9% sphere into the unit box
+        r = np.quantile(np.abs(p), 0.999)
+        pos = np.clip(p / (2.05 * r) + 0.5, 0.0, 1.0).astype(np.float32)
+    else:
+        pos = rng.uniform(0.0, 1.0, size=(n, 3)).astype(np.float32)
     box = make_box(0.0, 1.0, boundaries=PERIODIC)
     spacing = (1.0 / n) ** (1.0 / 3.0)
     # Oscillating drift (+v, -v, +v, ...): every step re-encodes, re-sorts
@@ -119,9 +135,20 @@ def main_sync():
     # (initial, +v, back) no matter how many steps run, so the occupancy
     # envelope — and with it the cap^2 stencil cost — is step-count
     # independent.
-    cell_cap = int(os.environ.get("BENCH_CELL_CAP", 0)) or default_cell_cap(
-        n, cell_level, snapshots=3
-    )
+    if dist == "uniform":
+        cell_cap = int(os.environ.get("BENCH_CELL_CAP", 0)) or default_cell_cap(
+            n, cell_level, snapshots=3
+        )
+    else:
+        # clustered: size the ELL cap from the MEASURED peak occupancy
+        # (the Poisson formula only covers uniform density)
+        d = 1 << cell_level
+        ijk = np.clip((pos * d).astype(np.int64), 0, d - 1)
+        flat = (ijk[:, 0] * d + ijk[:, 1]) * d + ijk[:, 2]
+        occ_max = int(np.bincount(flat, minlength=d * d * d).max())
+        cell_cap = int(os.environ.get("BENCH_CELL_CAP", 0)) or max(
+            64, -(-int(occ_max * 1.1 + 8) // 64) * 64
+        )
 
     cell_impl = os.environ.get(
         "BENCH_CELL_IMPL",
@@ -357,7 +384,8 @@ def main_tree():
 def main():
     n = int(os.environ.get("BENCH_N", 1_000_000))
     bucket = int(os.environ.get("BENCH_BUCKET", 64))
-    h_val = float(os.environ.get("BENCH_H", 0.012))
+    _h_env = os.environ.get("BENCH_H", "0.012")
+    h_val = 0.012 if _h_env == "adaptive" else float(_h_env)
     reps = int(os.environ.get("BENCH_REPS", 5))
     group_size = int(os.environ.get("BENCH_GROUP", 256))
     cand_leaf_cap = int(os.environ.get("BENCH_LEAF_CAP", 320))
@@ -365,12 +393,33 @@ def main():
     key_dtype = jnp.uint64
 
     rng = np.random.RandomState(42)
-    pos = rng.uniform(0.0, 1.0, size=(n, 3)).astype(np.float32)
+    dist = os.environ.get("BENCH_DIST", "uniform")
+    if dist == "gauss":
+        from cstone_tpu.utils.workloads import gaussian_coords
+
+        pos = gaussian_coords(n, (0.0, 1.0, 0.0, 1.0, 0.0, 1.0), seed=42)
+    elif dist == "plummer":
+        from cstone_tpu.utils.workloads import plummer_coords
+
+        p = plummer_coords(n, seed=42)
+        r = np.quantile(np.abs(p), 0.999)
+        pos = np.clip(p / (2.05 * r) + 0.5, 0.0, 1.0).astype(np.float32)
+    else:
+        pos = rng.uniform(0.0, 1.0, size=(n, 3)).astype(np.float32)
     box = make_box(0.0, 1.0, boundaries=PERIODIC)
     x = jnp.asarray(pos[:, 0])
     y = jnp.asarray(pos[:, 1])
     z = jnp.asarray(pos[:, 2])
-    hj = jnp.full((n,), np.float32(h_val))
+    if dist != "uniform" and os.environ.get("BENCH_H", "") == "adaptive":
+        # SPH-style density-adaptive smoothing lengths (~100 neighbors
+        # each) — the regime the reference's warp-BFS kernel targets
+        # (find_neighbors.cuh:200-343) and the stress case for any
+        # fixed-level grid
+        from cstone_tpu.utils.workloads import adaptive_h
+
+        hj = jnp.asarray(adaptive_h(pos, (0.0, 1.0) * 3, 100.0))
+    else:
+        hj = jnp.full((n,), np.float32(h_val))
 
     capacity = max(4096, int(3.2 * n / bucket) // 1024 * 1024 + 4096)
     n_groups = -(-n // group_size)

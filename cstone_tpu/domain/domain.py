@@ -195,6 +195,7 @@ class Domain:
         halo_req_cap: int = 0,
         halo_cap: int = 0,
         peer_window: int = 0,
+        protocol: str = "dense",
     ):
         self.rank = rank
         self.n_ranks = int(n_ranks)
@@ -227,6 +228,18 @@ class Domain:
         # grown by sync_with_retry like any other capacity. 0 = dense
         # all_to_all over the full rank axis.
         self.peer_window = min(int(peer_window), max(self.n_ranks - 1, 0))
+        # protocol="ragged" routes the count/sum services and the halo
+        # request-keys protocol over jax.lax.ragged_all_to_all: one
+        # concatenated dest-sorted operand per exchange, buffers sized by
+        # the MEASURED surface total, independent of the rank count
+        # (parallel/ragged.py — the peers.hpp:63-117 traffic bound realized
+        # the TPU way). treelet_cap / halo_req_cap / halo_cap then mean
+        # TOTALS per rank instead of per-pair lane widths, still grown by
+        # sync_with_retry on overflow. "dense" keeps the (R, cap)
+        # all_to_all protocols; peer_window applies to dense only.
+        if protocol not in ("dense", "ragged"):
+            raise ValueError(f"unknown protocol {protocol!r}")
+        self.protocol = protocol
 
     # ------------------------------------------------------------------
     def init_state(self, box: Optional[Box] = None, boundaries=(0, 0, 0)) -> DomainState:
@@ -578,12 +591,19 @@ class Domain:
 
     # ------------------------------------------------------------------
     def _p2p_caps(self, cap: int):
-        """Default p2p capacities derived from local capacity."""
+        """Default p2p capacities derived from local capacity. Dense
+        protocols interpret them as per-pair lane widths; ragged as
+        per-rank TOTALS (surface-sized), so the defaults differ."""
         R = max(self.n_ranks, 1)
         move_cap = self.move_cap or max(64, (2 * cap) // R)
-        treelet_cap = self.treelet_cap or max(64, self.focus_capacity // 4)
-        halo_req_cap = self.halo_req_cap or max(64, self.focus_capacity // 4)
-        halo_cap = self.halo_cap or max(128, cap // 2)
+        if self.protocol == "ragged":
+            treelet_cap = self.treelet_cap or max(256, self.focus_capacity)
+            halo_req_cap = self.halo_req_cap or max(256, self.focus_capacity)
+            halo_cap = self.halo_cap or max(256, 2 * cap)
+        else:
+            treelet_cap = self.treelet_cap or max(64, self.focus_capacity // 4)
+            halo_req_cap = self.halo_req_cap or max(64, self.focus_capacity // 4)
+            halo_cap = self.halo_cap or max(128, cap // 2)
         return move_cap, treelet_cap, halo_req_cap, halo_cap
 
     def _leaf_counts_service(
@@ -623,11 +643,19 @@ class Domain:
         dest = jnp.clip(dest, 0, self.n_ranks - 1)
         mine = dest == me
         W = self.peer_window or None
-        foreign, ovf = range_count_service(
-            a, b, dest, lvalid & (~mine), owned_keys, n_owned,
-            self.n_ranks, q_cap, self.axis_name,
-            my_rank=me, window=W,
-        )
+        if self.protocol == "ragged":
+            from ..parallel.ragged import range_count_service_ragged
+
+            foreign, ovf = range_count_service_ragged(
+                a, b, dest, lvalid & (~mine), owned_keys, n_owned,
+                self.n_ranks, q_cap, self.axis_name,
+            )
+        else:
+            foreign, ovf = range_count_service(
+                a, b, dest, lvalid & (~mine), owned_keys, n_owned,
+                self.n_ranks, q_cap, self.axis_name,
+                my_rank=me, window=W,
+            )
         counts = jnp.where(mine & lvalid, local, foreign.astype(jnp.uint32))
         if W is not None and global_tree is not None:
             far = lvalid & (~mine) & (jnp.abs(dest - me) > W)
@@ -699,11 +727,19 @@ class Domain:
             )
             dest = jnp.clip(dest, 0, self.n_ranks - 1)
             lvalid = li < linked.n_leaf
-            foreign_sums, sum_ovf = range_sum_service(
-                a, b, dest, lvalid & (dest != my_rank), okeys, n_owned, vals,
-                self.n_ranks, treelet_cap, self.axis_name,
-                my_rank=my_rank, window=self.peer_window or None,
-            )
+            if self.protocol == "ragged":
+                from ..parallel.ragged import range_sum_service_ragged
+
+                foreign_sums, sum_ovf = range_sum_service_ragged(
+                    a, b, dest, lvalid & (dest != my_rank), okeys, n_owned,
+                    vals, self.n_ranks, treelet_cap, self.axis_name,
+                )
+            else:
+                foreign_sums, sum_ovf = range_sum_service(
+                    a, b, dest, lvalid & (dest != my_rank), okeys, n_owned,
+                    vals, self.n_ranks, treelet_cap, self.axis_name,
+                    my_rank=my_rank, window=self.peer_window or None,
+                )
             leaf_acc = jnp.where(
                 (dest == my_rank)[:, None], leaf_acc_local, foreign_sums
             )
@@ -996,21 +1032,31 @@ class Domain:
                 peer_off = jnp.where(peers > 0, jnp.abs(r_ids - my_rank), 0)
                 win_need = jnp.maximum(win_need, jnp.max(peer_off).astype(jnp.int32))
                 win_need = jnp.where(win_need > W, win_need, 0)
-            halo_rec = build_halo_exchange(
-                linked.leaves[:-1], linked.leaves[1:], leaf_counts, layout,
-                halo_req, dest_leaf, okeys, n_owned, self.n_ranks,
-                halo_req_cap, halo_cap, self.axis_name,
-                my_rank=my_rank, window=W,
-            )
+            if self.protocol == "ragged":
+                from ..parallel.ragged import build_halo_exchange_ragged
+
+                halo_rec = build_halo_exchange_ragged(
+                    linked.leaves[:-1], linked.leaves[1:], leaf_counts,
+                    layout, halo_req, dest_leaf, okeys, n_owned,
+                    self.n_ranks, halo_req_cap, halo_cap, self.axis_name,
+                )
+            else:
+                halo_rec = build_halo_exchange(
+                    linked.leaves[:-1], linked.leaves[1:], leaf_counts, layout,
+                    halo_req, dest_leaf, okeys, n_owned, self.n_ranks,
+                    halo_req_cap, halo_cap, self.axis_name,
+                    my_rank=my_rank, window=W,
+                )
             halo_ovf = halo_rec.overflow
             overflow = jnp.maximum(overflow, halo_rec.overflow)
 
-            new_x = exchange_halo_field(ox, new_x, halo_rec, self.axis_name)
-            new_y = exchange_halo_field(oy, new_y, halo_rec, self.axis_name)
-            new_z = exchange_halo_field(oz, new_z, halo_rec, self.axis_name)
-            new_h = exchange_halo_field(oh, new_h, halo_rec, self.axis_name)
+            hx = self._halo_field
+            new_x = hx(ox, new_x, halo_rec)
+            new_y = hx(oy, new_y, halo_rec)
+            new_z = hx(oz, new_z, halo_rec)
+            new_h = hx(oh, new_h, halo_rec)
             new_props = tuple(
-                exchange_halo_field(op, np_buf, halo_rec, self.axis_name)
+                hx(op, np_buf, halo_rec)
                 for op, np_buf in zip(oprops, new_props)
             )
 
@@ -1120,6 +1166,17 @@ class Domain:
         return tree, ~conv0
 
     # ------------------------------------------------------------------
+    def _halo_field(self, owned_sorted, local_buf, rec) -> jax.Array:
+        """Route one field's halo move through the record's protocol."""
+        from ..parallel.exchange import exchange_halo_field
+        from ..parallel.ragged import RaggedHaloRecord, exchange_halo_field_ragged
+
+        if isinstance(rec, RaggedHaloRecord):
+            return exchange_halo_field_ragged(
+                owned_sorted, local_buf, rec, self.axis_name
+            )
+        return exchange_halo_field(owned_sorted, local_buf, rec, self.axis_name)
+
     def exchange_halos(self, result: SyncResult, prop: jax.Array) -> jax.Array:
         """Fill halo slots of `prop` with values from their owner ranks
         (domain.hpp:382-386, halos.hpp:224-251).
@@ -1132,15 +1189,11 @@ class Domain:
         if self.n_ranks == 1 and result.halo_record is None and result.global_ids is None:
             return prop  # single rank: there are no halo slots
         if result.halo_record is not None:
-            from ..parallel.exchange import exchange_halo_field
-
             # owned region in layout order IS the owned-sorted order
             owned_sorted = prop[
                 jnp.clip(result.start_index + j, 0, cap - 1)
             ]
-            return exchange_halo_field(
-                owned_sorted, prop, result.halo_record, self.axis_name
-            )
+            return self._halo_field(owned_sorted, prop, result.halo_record)
         owned = (j >= result.start_index) & (j < result.end_index)
 
         n_pool = cap * (self.n_ranks if self.axis_name is not None else 1)

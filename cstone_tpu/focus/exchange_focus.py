@@ -1,18 +1,23 @@
-"""Cross-rank exchange of per-cell quantities between focus trees.
+"""VALIDATION ORACLE: cross-rank exchange of per-cell focus quantities.
 
-TPU-native equivalent of the reference's treelet exchanges (reference:
-include/cstone/focus/exchange_focus.hpp — exchangeTreelets:62-96,
-exchangeTreeletGeneral:290-344, globalFocusExchange in
-octree_focus_mpi.hpp:763-784). Each rank's focus tree resolves peer
-assignments at least as finely as the owners' trees at their boundaries
-(guaranteed by enforce_keys); a cell owned by rank p can therefore be
-looked up by key in p's tree.
+O(R * tree) all_gather formulation of the reference's treelet exchanges
+(reference: include/cstone/focus/exchange_focus.hpp — exchangeTreelets:
+62-96, exchangeTreeletGeneral:290-344, globalFocusExchange in
+octree_focus_mpi.hpp:763-784), kept as a simple cross-check for tests.
 
-TPU adaptation: instead of per-peer P2P treelet messages, every rank
-all_gathers the (leaves, values) arrays and resolves each of its cells
-against the owner's row — one dense collective, a static loop over ranks,
-and exact-match masking in place of the reference's pruneTreelets
-(exchange_focus.hpp:100-129).
+The SHIPPED analogs — what Domain.sync actually runs — are the range
+services: exact per-cell counts/sums served by each range's owner over
+peer-local all_to_all (parallel/exchange.py::range_count_service /
+range_sum_service) or surface-total ragged buffers
+(parallel/ragged.py::range_*_service_ragged), both O(local+surface) per
+rank. This module's all_gather + static rank loop is O(R * tree) per rank
+and must not be used on a hot path.
+
+Lookup precondition shared with the reference: each rank's focus tree
+resolves peer assignments at least as finely as the owners' trees at
+their boundaries (guaranteed by enforce_keys), so a cell owned by rank p
+can be looked up by key in p's tree; exact-match masking stands in for
+pruneTreelets (exchange_focus.hpp:100-129).
 """
 
 from __future__ import annotations
