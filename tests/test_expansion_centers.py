@@ -70,25 +70,30 @@ def test_update_expansion_centers_multirank_oracle():
         leaf_centers = centers[res.tree.leaf_order()]
         leaf_spheres = mac_spheres[res.tree.leaf_order()]
         ovf = jax.lax.pmax(res.overflow + c_ovf, rank_axis)
-        # gather per-rank focus views for host-side oracle comparison
+        # gather per-rank focus views for host-side oracle comparison; the
+        # synced box limits too — open boundaries refit the box to the
+        # global particle AABB, and oracle keys must use the same box
         return (
             res.tree.leaves[None], res.tree.n_leaf[None], leaf_centers[None],
-            leaf_spheres[None], mac_flags[None], ovf,
+            leaf_spheres[None], mac_flags[None], ovf, state.box.limits,
         )
 
     fn = jax.jit(shard_map(
         step, mesh=mesh, in_specs=(P(rank_axis),) * 5,
-        out_specs=(P(rank_axis),) * 5 + (P(),), check_vma=False,
+        out_specs=(P(rank_axis),) * 5 + (P(), P()), check_vma=False,
     ))
-    leaves_r, nleaf_r, centers_r, spheres_r, macs_r, ovf = jax.block_until_ready(
-        fn(xl, yl, zl, hl, ml)
+    leaves_r, nleaf_r, centers_r, spheres_r, macs_r, ovf, lims = (
+        jax.block_until_ready(fn(xl, yl, zl, hl, ml))
     )
     assert int(ovf) == 0
 
+    from cstone_tpu.sfc.box import Box
+
+    synced_box = Box(limits=jnp.asarray(lims), boundaries=box.boundaries)
     keys_all = np.asarray(
         compute_sfc_keys(
             jnp.asarray(pos[:, 0]), jnp.asarray(pos[:, 1]), jnp.asarray(pos[:, 2]),
-            box, np.dtype(np.uint64), HILBERT,
+            synced_box, np.dtype(np.uint64), HILBERT,
         )
     ).astype(np.uint64)
 
