@@ -32,19 +32,33 @@ def brute_force_total(pos, h, lims, periodic):
     return int((d2 < r2[:, None]).sum())
 
 
-def _find_counts(result, box, n_cap):
+def _find_counts(result, box, n_cap, cand_leaf_cap=512, cand_cap=8192,
+                 frontier_cap=64, max_retries=3):
+    """Tree-path neighbor counts with cap growth on overflow (the
+    sync_with_retry pattern): clustered cores (Plummer) legitimately
+    need larger traversal buffers than the uniform default."""
     from cstone_tpu.traversal.neighbors import _find_neighbors_impl
     from cstone_tpu.traversal import make_ns_view
 
     view = make_ns_view(result.tree, result.layout, box)
-    counts, _, stats = _find_neighbors_impl(
-        result.x, result.y, result.z, result.h, view, box,
-        ng_max=1, group_size=16, cand_leaf_cap=512, cand_cap=8192, chunk=8,
-        with_indices=False, n_targets=n_cap,
-    )
-    overflow = (stats.cand_max > 8192) | (stats.leaf_max > 512) | (
-        stats.frontier_max > 64
-    )
+    for _ in range(max_retries + 1):
+        counts, _, stats = _find_neighbors_impl(
+            result.x, result.y, result.z, result.h, view, box,
+            ng_max=1, group_size=16, cand_leaf_cap=cand_leaf_cap,
+            cand_cap=cand_cap, chunk=8, frontier_cap=frontier_cap,
+            with_indices=False, n_targets=n_cap,
+        )
+        overflow = (stats.cand_max > cand_cap) | (stats.leaf_max > cand_leaf_cap) | (
+            stats.frontier_max > frontier_cap
+        )
+        if not bool(overflow):
+            break
+        if int(stats.cand_max) > cand_cap:
+            cand_cap *= 2
+        if int(stats.leaf_max) > cand_leaf_cap:
+            cand_leaf_cap *= 2
+        if int(stats.frontier_max) > frontier_cap:
+            frontier_cap *= 2
     return counts, overflow.astype(jnp.int32), stats.leaf_max
 
 

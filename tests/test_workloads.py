@@ -55,9 +55,10 @@ def test_clustered_tree_path_adaptive_h(dist):
     expect = brute_force_total(pos, h, np.asarray(box.limits), True)
     assert total == expect
     # the workload is genuinely clustered: neighbor counts vary an order
-    # of magnitude even with adaptive h capped from above
+    # of magnitude even with adaptive h capped from above (median, not
+    # mean — the Plummer core's capped-h counts dominate the mean)
     per = np.asarray(counts[:n])
-    assert per.max() >= 5 * max(per.mean(), 1.0) or dist == "gauss"
+    assert per.max() >= 5 * max(np.median(per), 1.0) or dist == "gauss"
 
 
 @pytest.mark.parametrize("dist", ["gauss", "plummer"])
