@@ -84,6 +84,13 @@ def main_sync():
     bucket = int(os.environ.get("BENCH_BUCKET", 64))
     focus_bucket = int(os.environ.get("BENCH_FOCUS_BUCKET", 64))
     _h_env = os.environ.get("BENCH_H", "0.012")
+    if _h_env == "adaptive":
+        print(
+            "WARNING: BENCH_H=adaptive is not supported in sync mode; "
+            "using fixed h=0.012 (run BENCH_MODE=fn with a clustered "
+            "BENCH_DIST for the adaptive-h regime)",
+            file=sys.stderr, flush=True,
+        )
     h_val = 0.012 if _h_env == "adaptive" else float(_h_env)
     reps = int(os.environ.get("BENCH_REPS", 5))
     # BENCH_DIST=uniform|gauss|plummer — the reference's perf workloads
@@ -410,6 +417,12 @@ def main():
     x = jnp.asarray(pos[:, 0])
     y = jnp.asarray(pos[:, 1])
     z = jnp.asarray(pos[:, 2])
+    if dist == "uniform" and os.environ.get("BENCH_H", "") == "adaptive":
+        print(
+            "WARNING: BENCH_H=adaptive requires a clustered BENCH_DIST "
+            "(gauss|plummer); using fixed h=0.012 on the uniform sample",
+            file=sys.stderr, flush=True,
+        )
     if dist != "uniform" and os.environ.get("BENCH_H", "") == "adaptive":
         # SPH-style density-adaptive smoothing lengths (~100 neighbors
         # each) — the regime the reference's warp-BFS kernel targets

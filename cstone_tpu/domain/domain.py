@@ -195,7 +195,7 @@ class Domain:
         halo_req_cap: int = 0,
         halo_cap: int = 0,
         peer_window: int = 0,
-        protocol: str = "dense",
+        protocol: Optional[str] = None,
     ):
         self.rank = rank
         self.n_ranks = int(n_ranks)
@@ -237,8 +237,23 @@ class Domain:
         # TOTALS per rank instead of per-pair lane widths, still grown by
         # sync_with_retry on overflow. "dense" keeps the (R, cap)
         # all_to_all protocols; peer_window applies to dense only.
+        # protocol=None auto-selects: ragged where the native
+        # ragged_all_to_all HLO lowers (TPU), dense elsewhere (the CPU
+        # test mesh runs ragged only when asked, via the emulation).
+        if protocol is None:
+            protocol = "ragged" if jax.default_backend() == "tpu" else "dense"
         if protocol not in ("dense", "ragged"):
             raise ValueError(f"unknown protocol {protocol!r}")
+        if protocol == "ragged" and self.peer_window:
+            # the ragged services are already surface-total-sized and do
+            # their own per-rank routing; a rank window neither bounds nor
+            # scopes them, and letting it through would make
+            # sync_with_retry grow a knob with no effect (overflow_detail
+            # keeps a window slot only for the dense/windowed path).
+            raise ValueError(
+                "peer_window applies to protocol='dense' only; the ragged "
+                "protocols are surface-sized without a rank window"
+            )
         self.protocol = protocol
 
     # ------------------------------------------------------------------
@@ -1205,12 +1220,20 @@ class Domain:
 
     # ------------------------------------------------------------------
     def diagnostics(self, state: DomainState, result: SyncResult) -> dict:
-        """Per-rank focus/halo statistics (domain.hpp:606-652). Host-side."""
+        """Per-rank focus/halo statistics (domain.hpp:606-652). Host-side.
+
+        Includes MAC peer discovery (findPeersMac, peers.hpp:63-117) on
+        every protocol — the dense/windowed path uses the peer set for
+        routing, the ragged path only for sizing, but the peer count and
+        max rank offset are load-balance observables either way."""
         import numpy as np_
+
+        from ..traversal.macs import inv_theta_min_mac
+        from ..traversal.peers import find_peers_mac
 
         n_leaf = int(result.tree.n_leaf)
         flags = np_.asarray(result.halo_flags[:n_leaf])
-        return {
+        diag = {
             "focus_leaves": n_leaf,
             "focus_nodes": int(result.tree.n_nodes),
             "global_leaves": int(state.global_tree.n_nodes),
@@ -1220,6 +1243,20 @@ class Domain:
             "overflow": int(result.overflow),
             "box": np_.asarray(state.box.limits).tolist(),
         }
+        if self.n_ranks > 1:
+            peers = np_.asarray(
+                find_peers_mac(
+                    jnp.asarray(self.rank, jnp.int32), state.assignment,
+                    result.tree, state.box,
+                    inv_theta_min_mac(self.theta), self.curve,
+                )
+            )
+            offs = np_.abs(np_.arange(self.n_ranks) - self.rank)
+            diag["mac_peers"] = int((peers > 0).sum())
+            diag["mac_peer_max_offset"] = int(offs[peers > 0].max()) if (
+                peers > 0
+            ).any() else 0
+        return diag
 
     # ------------------------------------------------------------------
     def reapply_sync(self, result: SyncResult, prop: jax.Array) -> jax.Array:

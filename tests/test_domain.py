@@ -51,6 +51,8 @@ def _find_counts(result, box, n_cap, cand_leaf_cap=512, cand_cap=8192,
         overflow = (stats.cand_max > cand_cap) | (stats.leaf_max > cand_leaf_cap) | (
             stats.frontier_max > frontier_cap
         )
+        if isinstance(overflow, jax.core.Tracer):
+            break  # under trace (shard_map/jit): single attempt, flag only
         if not bool(overflow):
             break
         if int(stats.cand_max) > cand_cap:
