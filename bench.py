@@ -161,6 +161,25 @@ def main_sync():
         "BENCH_CELL_IMPL",
         "pallas" if jax.default_backend() not in ("cpu",) else "xla",
     )
+    # BENCH_OP=density swaps the neighbor-count pass for the fused SPH
+    # density stencil (the reference's per-pair interaction run inside the
+    # traversal, find_neighbors.cuh:94-124) — same sync pipeline around it
+    bench_op = os.environ.get("BENCH_OP", "count")
+
+    def nb_pass(res):
+        if bench_op == "density":
+            from cstone_tpu.traversal.celllist import cell_list_sph_density
+
+            vals, ovf = cell_list_sph_density(
+                res.keys, res.x, res.y, res.z, res.h, box, cell_level,
+                cell_cap, mass=1.0 / n, n_valid=res.end_index,
+                const_h=True, interpret=jax.default_backend() == "cpu",
+            )
+            return vals, ovf
+        return cell_list_neighbor_counts(
+            res.keys, res.x, res.y, res.z, res.h, box, cell_level, cell_cap,
+            n_valid=res.end_index, impl=cell_impl, const_h=True,
+        )
 
     # ONE fused program per step (sync + neighbor counts): each extra
     # dispatch costs ~20ms of tunnel latency on this environment. Used to
@@ -168,10 +187,7 @@ def main_sync():
     @jax.jit
     def s_step(state, x, y, z):
         state, res = domain.sync(state, x, y, z, hj)
-        counts, cell_ovf = cell_list_neighbor_counts(
-            res.keys, res.x, res.y, res.z, res.h, box, cell_level, cell_cap,
-            n_valid=res.end_index, impl=cell_impl,
-        )
+        counts, cell_ovf = nb_pass(res)
         ovf = jnp.maximum(res.overflow, cell_ovf.astype(jnp.int32))
         return state, res, counts, ovf
 
@@ -186,14 +202,11 @@ def main_sync():
         y = (y + sgn * drift[:, 1]) % 1.0
         z = (z + sgn * drift[:, 2]) % 1.0
         state, res = domain.sync(state, x, y, z, hj)
-        counts, cell_ovf = cell_list_neighbor_counts(
-            res.keys, res.x, res.y, res.z, res.h, box, cell_level, cell_cap,
-            n_valid=res.end_index, impl=cell_impl,
-        )
+        counts, cell_ovf = nb_pass(res)
         ovf = jnp.maximum(
             ovf, jnp.maximum(res.overflow, cell_ovf.astype(jnp.int32))
         )
-        chk = chk + jnp.sum(counts, dtype=jnp.int32)
+        chk = chk + jnp.sum(counts.astype(jnp.float32)).astype(jnp.int32)
         return state, x, y, z, -sgn, ovf, chk
 
     @jax.jit
@@ -217,12 +230,9 @@ def main_sync():
             y = (y + sgn * drift[:, 1]) % 1.0
             z = (z + sgn * drift[:, 2]) % 1.0
             state, res = domain.sync(state, x, y, z, hj)
-            counts, cell_ovf = cell_list_neighbor_counts(
-                res.keys, res.x, res.y, res.z, res.h, box, cell_level,
-                cell_cap, n_valid=res.end_index, impl=cell_impl,
-            )
+            counts, cell_ovf = nb_pass(res)
             ovf = jnp.maximum(res.overflow, cell_ovf.astype(jnp.int32))
-            chk = chk + jnp.sum(counts, dtype=jnp.int32)
+            chk = chk + jnp.sum(counts.astype(jnp.float32)).astype(jnp.int32)
             # carry the pre-sync positions: the +-v cancellation needs the
             # original particle order (res.x is in sorted order)
             return (state, x, y, z, -sgn,
@@ -294,7 +304,8 @@ def main_sync():
     pairs, max_occ = stencil_stats(offs, perm, cell_level)
     pairs_f = float(np.asarray(pairs))
     print(json.dumps({
-        "metric": "sync_findneighbors_throughput",
+        "metric": ("sync_sph_density_throughput" if bench_op == "density"
+                   else "sync_findneighbors_throughput"),
         "value": round(pps, 1),
         "unit": "particles/sec/chip",
         "vs_baseline": round(pps / baseline, 4),
@@ -484,9 +495,13 @@ def main():
         "BENCH_CELL_IMPL",
         "pallas" if jax.default_backend() not in ("cpu",) else "xla",
     )
+    _const_h = not (
+        dist != "uniform" and os.environ.get("BENCH_H", "") == "adaptive"
+    )
     s_cell = jax.jit(
         lambda k, xs, ys, zs, hs: cell_list_neighbor_counts(
             k, xs, ys, zs, hs, box, cell_level, cell_cap, impl=cell_impl,
+            const_h=_const_h,
         )
     )
 
@@ -770,7 +785,8 @@ def main():
     pps = n / best
     baseline = 1e8
     print(json.dumps({
-        "metric": "sync_findneighbors_throughput",
+        "metric": ("sync_sph_density_throughput" if bench_op == "density"
+                   else "sync_findneighbors_throughput"),
         "value": round(pps, 1),
         "unit": "particles/sec/chip",
         "vs_baseline": round(pps / baseline, 4),
@@ -783,14 +799,68 @@ def main():
     )
 
 
+def main_suite():
+    """Run the BASELINE.md scale configs, one subprocess each.
+
+    The headline (1M uniform full sync + neighbor counts) prints its JSON
+    line on STDOUT — the driver's parsed metric; every other config's JSON
+    rides STDERR with a "config" tag so the recorded tail carries the
+    whole table (BASELINE.md configs 1-3: 2M/64M octree rebuild, 4M
+    single-rank sync, clustered 1M throughput). Subprocesses keep each
+    config's HBM footprint and axon tunnel session isolated; the parent
+    never initializes a backend.
+    """
+    import subprocess
+
+    def run_one(tag, env_over, to_stdout=False, timeout=2400):
+        env = dict(os.environ)
+        env.update(env_over)
+        env["BENCH_SUITE"] = "0"
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=timeout,
+            )
+            got = False
+            for line in p.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    d = json.loads(line)
+                    d["config"] = tag
+                    print(json.dumps(d),
+                          file=sys.stdout if to_stdout else sys.stderr,
+                          flush=True)
+                    got = True
+            for line in p.stderr.splitlines()[-2:]:
+                print(f"[{tag}] {line}", file=sys.stderr, flush=True)
+            if p.returncode != 0 or not got:
+                print(f"[suite] {tag} rc={p.returncode}: {p.stderr[-400:]}",
+                      file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001 — a failed config must not kill the suite
+            print(f"[suite] {tag} error: {e}", file=sys.stderr, flush=True)
+
+    run_one("sync_1M_uniform", {"BENCH_MODE": "sync"}, to_stdout=True)
+    run_one("octree_build_2M", {"BENCH_MODE": "tree", "BENCH_N": "2000000"})
+    run_one("sync_4M_uniform", {"BENCH_MODE": "sync", "BENCH_N": "4000000"})
+    run_one("sync_1M_gauss", {"BENCH_MODE": "sync", "BENCH_DIST": "gauss"})
+    run_one("sph_density_1M", {"BENCH_MODE": "sync", "BENCH_OP": "density"})
+    run_one("octree_build_64M",
+            {"BENCH_MODE": "tree", "BENCH_N": "64000000"}, timeout=3600)
+
+
 if __name__ == "__main__":
-    # Default = the honest headline: the FULL Domain.sync pipeline (global
-    # box/tree/assignment/focus/halos, warm-started, with per-step particle
-    # drift) + fixed-radius neighbor counts. BENCH_MODE=fn measures the
-    # tree-build + neighbor-search slice alone (octree.cpp +
-    # neighbor_driver.cu analog).
+    # Default = the BASELINE suite around the honest headline: the FULL
+    # Domain.sync pipeline (global box/tree/assignment/focus/halos,
+    # warm-started, with per-step particle drift) + fixed-radius neighbor
+    # counts at 1M on stdout, plus the scale configs (2M/64M octree
+    # rebuild, 4M sync, clustered sync) tagged on stderr. BENCH_MODE=fn
+    # measures the tree-build + neighbor-search slice alone (octree.cpp +
+    # neighbor_driver.cu analog); BENCH_SUITE=0 runs just one config.
     _mode = os.environ.get("BENCH_MODE", "sync")
-    if _mode == "fn":
+    _suite = os.environ.get("BENCH_SUITE", "1") == "1"
+    if _suite and _mode == "sync" and "BENCH_N" not in os.environ:
+        main_suite()
+    elif _mode == "fn":
         main()
     elif _mode == "tree":
         main_tree()

@@ -46,6 +46,7 @@ __all__ = [
     "ell_pack",
     "stencil_neighbor_counts",
     "cell_list_neighbor_counts",
+    "cell_list_sph_density",
 ]
 
 
@@ -230,6 +231,7 @@ def ell_pack_gather(
     cap: int,
     level: int,
     n_valid=None,
+    blk: int = 16,
 ) -> Tuple[Tuple[jax.Array, ...], jax.Array, jax.Array, jax.Array]:
     """Run-window ELL pack: one stacked row gather over per-cell runs.
 
@@ -281,26 +283,30 @@ def ell_pack_gather(
     s_rm = starts[perm]
     c_rm = counts[perm]
 
-    # stacked 8-particle rows, padded so every cell's (cap/8 + 1)-row
-    # window stays in bounds with INVALID fill
-    pad = cap + 8 + (-(n + cap + 8)) % 8
-    stacked8 = jnp.stack(
+    # stacked blk-particle rows, padded so every cell's (cap/blk + 1)-row
+    # window stays in bounds with INVALID fill; larger blk trades gather
+    # indices (the dominant cost, ~18ns each) for a wider realign select
+    while cap % blk:
+        blk //= 2
+    blk = max(blk, 1)
+    pad = cap + blk + (-(n + cap + blk)) % blk
+    stackedB = jnp.stack(
         [jnp.concatenate([a, jnp.full((pad,), INVALID_COORD, jnp.float32)])
          for a in arrays],
         axis=-1,
-    ).reshape(-1, 8 * F)
-    nrow8 = stacked8.shape[0]
+    ).reshape(-1, blk * F)
+    nrowB = stackedB.shape[0]
 
-    nr = (cap + 7) // 8 + 1  # covers cap slots at any run offset 0..7
+    nr = cap // blk + 1  # covers cap slots at any run offset 0..blk-1
     r = jnp.arange(nr, dtype=jnp.int32)
-    rows = jnp.minimum((s_rm // 8)[:, None] + r[None, :], nrow8 - 1)
-    blk = stacked8[rows].reshape(n_cells, nr * 8 * F)
-    off = s_rm % 8
+    rows = jnp.minimum((s_rm // blk)[:, None] + r[None, :], nrowB - 1)
+    win = stackedB[rows].reshape(n_cells, nr * blk * F)
+    off = s_rm % blk
     out = jnp.zeros((n_cells, cap * F), jnp.float32)
-    for k in range(8):
+    for k in range(blk):
         out = jnp.where(
             (off == k)[:, None],
-            jax.lax.slice_in_dim(blk, F * k, F * k + cap * F, axis=1),
+            jax.lax.slice_in_dim(win, F * k, F * k + cap * F, axis=1),
             out,
         )
     blk4 = out.reshape(n_cells, cap, F)
@@ -431,6 +437,7 @@ def cell_list_neighbor_counts(
     n_valid=None,
     impl: str = "xla",
     interpret: bool = False,
+    const_h: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """(n,) neighbor counts in sorted particle order + overflow flag.
 
@@ -438,9 +445,13 @@ def cell_list_neighbor_counts(
     semantics) provided the grid cell side at `level` is >= 2*max(hs):
     use choose_cell_level. Overflow=True means some cell held more than
     `cap` particles and the result is invalid — retry with a larger cap.
-    impl="pallas" uses the TPU kernel (ops/pallas_stencil.py; requires a
-    lane-alignable cap, e.g. 64), impl="xla" the portable roll stencil.
-    No cell table is needed: the pack derives cells from the key bits.
+    impl="pallas" uses the symmetric half-stencil TPU kernel
+    (ops/pallas_stencil.py; requires a lane-alignable cap, e.g. 64),
+    impl="pallas_asym" the one-sided kernel, impl="xla" the portable roll
+    stencil. const_h=True promises all hs are equal (skips the
+    candidate-side radius plane in the symmetric kernel; wrong results if
+    violated). No cell table is needed: the pack derives cells from the
+    key bits.
     """
     n = keys_sorted.shape[0]
     perm, inv = rowmajor_cell_perm(int(level), curve)
@@ -449,10 +460,17 @@ def cell_list_neighbor_counts(
         keys_sorted, perm, (xs, ys, zs, hs), cap, int(level), n_valid=n_valid
     )
     r2 = jnp.where(valid, (2.0 * ph) ** 2, jnp.float32(-1.0))
+    periodic = tuple(int(b) == 1 for b in box.boundaries)
     if impl == "pallas":
+        from ..ops.pallas_stencil import stencil_counts_pallas_sym
+
+        counts_ell = stencil_counts_pallas_sym(
+            px, py, pz, r2, valid, box.lengths, periodic, int(level),
+            same_r2=const_h, interpret=interpret,
+        )
+    elif impl == "pallas_asym":
         from ..ops.pallas_stencil import stencil_counts_pallas
 
-        periodic = tuple(int(b) == 1 for b in box.boundaries)
         counts_ell = stencil_counts_pallas(
             px, py, pz, r2, valid, box.lengths, periodic, int(level),
             interpret=interpret,
@@ -468,3 +486,54 @@ def cell_list_neighbor_counts(
     )
     counts = counts_s[:n].astype(jnp.uint32)
     return counts, overflow
+
+
+def cell_list_sph_density(
+    keys_sorted: jax.Array,  # (n,) SFC-sorted particle keys
+    xs: jax.Array,  # (n,) coords in the same (sorted) order
+    ys: jax.Array,
+    zs: jax.Array,
+    hs: jax.Array,  # (n,) smoothing lengths; kernel support radius = 2h
+    box: Box,
+    level: int,
+    cap: int,
+    mass=1.0,  # uniform particle mass (scalar)
+    curve: str = HILBERT,
+    n_valid=None,
+    const_h: bool = False,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """(n,) SPH densities in sorted particle order + overflow flag.
+
+    rho_i = (m / pi h_i^3) * (sum_{j != i} W(|r_ij| / h_i) + W(0)) with the
+    cubic-spline W — identical formula to models/sph.py's tree-path
+    density, but the interaction is fused into the symmetric half-stencil
+    Pallas kernel: one resident pass, no neighbor-index lists in HBM (the
+    reference runs its per-pair op inside the warp traversal the same way,
+    find_neighbors.cuh:94-124; the separate findNeighbors+force-loop shape
+    is a CPU-ism this framework only keeps on the tree path for API
+    parity). Exact provided the grid cell side at `level` is >= 2*max(hs).
+    const_h=True promises all hs equal (skips the candidate-h plane).
+    """
+    n = keys_sorted.shape[0]
+    perm, inv = rowmajor_cell_perm(int(level), curve)
+
+    (px, py, pz, ph), valid, pidx, overflow = ell_pack_gather(
+        keys_sorted, perm, (xs, ys, zs, hs), cap, int(level), n_valid=n_valid
+    )
+    from ..ops.pallas_stencil import stencil_density_pallas_sym
+
+    periodic = tuple(int(b) == 1 for b in box.boundaries)
+    wsum = stencil_density_pallas_sym(
+        px, py, pz, ph, valid, box.lengths, periodic, int(level),
+        same_h=const_h, interpret=interpret,
+    )
+    # self term W(0) = 1 (unnormalized cubic spline) + normalization
+    inv_h = jnp.where(valid, 1.0 / ph, 0.0)
+    rho_ell = (jnp.float32(mass) / np.float32(np.pi)) * (
+        (wsum + 1.0) * inv_h * inv_h * inv_h
+    )
+    pidx_s, rho_s = jax.lax.sort(
+        (pidx.reshape(-1), rho_ell.reshape(-1)), num_keys=1, is_stable=False
+    )
+    return rho_s[:n], overflow

@@ -86,6 +86,30 @@ def test_pallas_stencil_matches_xla(periodic):
     np.testing.assert_array_equal(np.asarray(counts_pl), np.asarray(counts_xla))
 
 
+@pytest.mark.parametrize("periodic", [False, True])
+@pytest.mark.parametrize("impl,const_h", [("pallas", True), ("pallas_asym", False)])
+def test_pallas_stencil_variants_match_xla(periodic, impl, const_h):
+    # symmetric kernel with the constant-radius fast path (no packed r2
+    # plane) and the one-sided kernel must both agree with the XLA roll
+    # stencil; uniform h so const_h's promise holds
+    n = 1500
+    x, y, z, h, keys, box = _setup(n, periodic, seed=99, hval=0.09)
+    level = 2
+    cap = max(64, _tight_cap(keys, level))
+    cap = -(-cap // 64) * 64
+    counts_xla, ovf = cell_list_neighbor_counts(
+        keys, jnp.asarray(x), jnp.asarray(y), jnp.asarray(z), jnp.asarray(h),
+        box, level, cap=cap, impl="xla",
+    )
+    assert not bool(ovf)
+    counts_pl, ovf2 = cell_list_neighbor_counts(
+        keys, jnp.asarray(x), jnp.asarray(y), jnp.asarray(z), jnp.asarray(h),
+        box, level, cap=cap, impl=impl, interpret=True, const_h=const_h,
+    )
+    assert not bool(ovf2)
+    np.testing.assert_array_equal(np.asarray(counts_pl), np.asarray(counts_xla))
+
+
 def test_rowmajor_perm_matches_jax_encode():
     # the pure-NumPy cell encode must agree with the library's jax encode
     from cstone_tpu.sfc.encode import isfc_key_top
