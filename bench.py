@@ -65,7 +65,30 @@ def default_cell_cap(n: int, level: int, snapshots: int = 1) -> int:
     return max(64, int(-(-cap // 64) * 64))
 
 
+class _CapRetry(Exception):
+    """Carries grown capacity overrides after an overflow warm-up step."""
+
+    def __init__(self, caps):
+        self.caps = caps
+
+
 def main_sync():
+    """Capacity-growth wrapper: re-run the config with grown buffers on
+    overflow, the library's sync_with_retry semantics applied at the
+    benchmark level (reallocate.hpp:38-107). The first attempt uses tight
+    defaults; clustered or large-n configs may need one regrow."""
+    caps = {}
+    for _ in range(4):
+        try:
+            return _main_sync_once(caps)
+        except _CapRetry as e:
+            caps = dict(e.caps)
+            print(f"[bench] overflow -> regrow caps: {caps}",
+                  file=sys.stderr, flush=True)
+    raise RuntimeError(f"bench config still overflows after retries: {caps}")
+
+
+def _main_sync_once(cap_over):
     """Full single-chip Domain.sync + findNeighbors steady-state throughput.
 
     The honest headline: every step runs the complete sync pipeline —
@@ -84,18 +107,18 @@ def main_sync():
     bucket = int(os.environ.get("BENCH_BUCKET", 64))
     focus_bucket = int(os.environ.get("BENCH_FOCUS_BUCKET", 64))
     _h_env = os.environ.get("BENCH_H", "0.012")
-    if _h_env == "adaptive":
-        print(
-            "WARNING: BENCH_H=adaptive is not supported in sync mode; "
-            "using fixed h=0.012 (run BENCH_MODE=fn with a clustered "
-            "BENCH_DIST for the adaptive-h regime)",
-            file=sys.stderr, flush=True,
-        )
-    h_val = 0.012 if _h_env == "adaptive" else float(_h_env)
     reps = int(os.environ.get("BENCH_REPS", 5))
     # BENCH_DIST=uniform|gauss|plummer — the reference's perf workloads
     # (random.hpp RandomGaussianCoordinates, plummer.hpp; octree.cpp:45-72)
     dist = os.environ.get("BENCH_DIST", "uniform")
+    adaptive = _h_env == "adaptive" and dist != "uniform"
+    if _h_env == "adaptive" and dist == "uniform":
+        print(
+            "WARNING: BENCH_H=adaptive requires a clustered BENCH_DIST "
+            "(gauss|plummer); using fixed h=0.012 on the uniform sample",
+            file=sys.stderr, flush=True,
+        )
+    h_val = 0.012 if _h_env == "adaptive" else float(_h_env)
 
     rng = np.random.RandomState(42)
     if dist == "gauss":
@@ -125,13 +148,25 @@ def main_sync():
     x = jnp.asarray(pos[:, 0])
     y = jnp.asarray(pos[:, 1])
     z = jnp.asarray(pos[:, 2])
-    hj = jnp.full((n,), np.float32(h_val))
+    if adaptive:
+        # SPH-style density-adaptive smoothing (~100 neighbors each): the
+        # regime the reference's warp-BFS kernel targets
+        # (find_neighbors.cuh:46-75); counts run the TIERED cell list
+        from cstone_tpu.utils.workloads import adaptive_h
 
-    tree_capacity = max(4096, int(3.2 * n / bucket) // 1024 * 1024 + 4096)
+        h_np = np.asarray(adaptive_h(pos, (0.0, 1.0) * 3, 100.0))
+        hj = jnp.asarray(h_np)
+    else:
+        hj = jnp.full((n,), np.float32(h_val))
+
+    tree_capacity = cap_over.get(
+        "tree", max(4096, int(3.2 * n / bucket) // 1024 * 1024 + 4096)
+    )
+    focus_capacity = cap_over.get("focus", tree_capacity)
     domain = Domain(
         rank=0, n_ranks=1, bucket_size=bucket, bucket_size_focus=focus_bucket,
         key_dtype=jnp.uint64, tree_capacity=tree_capacity,
-        focus_capacity=tree_capacity,
+        focus_capacity=focus_capacity,
     )
     state = domain.init_state(box=box, boundaries=(1, 1, 1))
     cell_level = int(os.environ.get("BENCH_CELL_LEVEL", 0)) or choose_cell_level(
@@ -142,7 +177,20 @@ def main_sync():
     # (initial, +v, back) no matter how many steps run, so the occupancy
     # envelope — and with it the cap^2 stencil cost — is step-count
     # independent.
-    if dist == "uniform":
+    tier_scale = cap_over.get("tier_scale", 1.0)
+    if adaptive:
+        from cstone_tpu.traversal.tiered import choose_tier_levels, tier_caps
+
+        tier_levels = choose_tier_levels(h_np, 1.0, max_tiers=3)
+        tier_same, tier_cross = tier_caps(
+            pos, h_np, (0.0, 1.0), tier_levels, slack=1.3 * tier_scale)
+        cell_cap = max(tier_same)  # only for the growth bookkeeping
+        print(f"[bench] adaptive tiers: levels={tier_levels} "
+              f"caps={tier_same} cross={tier_cross}",
+              file=sys.stderr, flush=True)
+    elif "cell" in cap_over:
+        cell_cap = cap_over["cell"]
+    elif dist == "uniform":
         cell_cap = int(os.environ.get("BENCH_CELL_CAP", 0)) or default_cell_cap(
             n, cell_level, snapshots=3
         )
@@ -167,6 +215,16 @@ def main_sync():
     bench_op = os.environ.get("BENCH_OP", "count")
 
     def nb_pass(res):
+        if adaptive:
+            from cstone_tpu.traversal.tiered import (
+                cell_list_neighbor_counts_tiered,
+            )
+
+            return cell_list_neighbor_counts_tiered(
+                res.keys, res.x, res.y, res.z, res.h, box, tier_levels,
+                tier_same, tier_cross, n_valid=res.end_index,
+                interpret=jax.default_backend() == "cpu",
+            )
         if bench_op == "density":
             from cstone_tpu.traversal.celllist import cell_list_sph_density
 
@@ -243,9 +301,34 @@ def main_sync():
         state, x, y, z, sgn, ovf, chk = carry
         return state, x, y, z, ovf, chk
 
+    def _check_grow(ovf, res):
+        if int(np.asarray(ovf)) == 0:
+            return
+        caps = dict(cap_over)
+        det = (np.asarray(res.overflow_detail)
+               if res is not None and res.overflow_detail is not None
+               else None)
+        if det is not None:
+            # CAP_NAMES order: local, tree, focus, move, treelet, halo, win
+            if det[1] > 0:
+                caps["tree"] = int(det[1]) + 8192
+            if det[2] > 0:
+                caps["focus"] = int(det[2]) + 8192
+            if det[1] == 0 and det[2] == 0:
+                if adaptive:
+                    caps["tier_scale"] = tier_scale * 1.5
+                else:
+                    caps["cell"] = -(-int(cell_cap * 3 // 2) // 64) * 64
+        else:
+            # folded flag without detail: grow everything moderately
+            caps["tree"] = int(tree_capacity * 3 // 2)
+            caps["focus"] = int(focus_capacity * 3 // 2)
+            caps["cell"] = -(-int(cell_cap * 3 // 2) // 64) * 64
+        raise _CapRetry(caps)
+
     t0 = time.time()
     state, res, counts, ovf = s_step(state, x, y, z)
-    assert int(np.asarray(ovf)) == 0, f"overflow: {int(np.asarray(ovf))}"
+    _check_grow(ovf, res)
     compile_time = time.time() - t0
 
     if steps == 1:
@@ -257,7 +340,8 @@ def main_sync():
         sgn = jnp.float32(1.0)
         state, x, y, z, sgn, ovf_c, chk = s_stepd(state, x, y, z, sgn, ovf_c, chk)
         ovf_h = int(np.asarray(ovf_c))  # warm s_stepd's compile
-        assert ovf_h == 0, f"overflow: {ovf_h}"
+        if ovf_h:
+            _check_grow(ovf_h, None)
         times = []
         for _ in range(2):
             ovf_c = jnp.int32(0)
@@ -299,10 +383,13 @@ def main_sync():
     # 11 flops per tested pair)
     from cstone_tpu.traversal.celllist import rowmajor_cell_perm, stencil_stats
 
-    offs = build_cell_table(res.keys, cell_level, n_valid=res.end_index)
-    perm, _ = rowmajor_cell_perm(cell_level)
-    pairs, max_occ = stencil_stats(offs, perm, cell_level)
-    pairs_f = float(np.asarray(pairs))
+    if adaptive:
+        pairs_f, max_occ = 0.0, jnp.int32(0)  # per-tier grids; see caps line
+    else:
+        offs = build_cell_table(res.keys, cell_level, n_valid=res.end_index)
+        perm, _ = rowmajor_cell_perm(cell_level)
+        pairs, max_occ = stencil_stats(offs, perm, cell_level)
+        pairs_f = float(np.asarray(pairs))
     print(json.dumps({
         "metric": ("sync_sph_density_throughput" if bench_op == "density"
                    else "sync_findneighbors_throughput"),
@@ -368,7 +455,25 @@ def main_tree():
     tree = s_build(keys)
     n_nodes = int(np.asarray(tree.n_nodes))
     compile_s = time.time() - t0
-    assert n_nodes <= capacity, f"tree capacity exceeded: {n_nodes}"
+    if n_nodes > capacity:
+        # converged tree larger than the sizing guess (clustered sample):
+        # rebuild the jits with the measured requirement + slack
+        capacity = int(n_nodes * 1.15) // 1024 * 1024 + 4096
+        print(f"[bench] regrow tree capacity -> {capacity}",
+              file=sys.stderr, flush=True)
+        init_level = default_init_level(n, bucket, capacity)
+        s_build = jax.jit(
+            lambda k: _compute_octree_jit(
+                k, bucket, capacity, MAX_UINT32, None, init_level)
+        )
+        s_update = jax.jit(
+            lambda t, k: update_octree(t, k, bucket, MAX_UINT32, None)
+        )
+        t0 = time.time()
+        tree = s_build(keys)
+        n_nodes = int(np.asarray(tree.n_nodes))
+        compile_s += time.time() - t0
+        assert n_nodes <= capacity, f"tree capacity exceeded: {n_nodes}"
     tree2, conv = s_update(tree, keys2)
     np.asarray(conv)
     compile_s += 0.0
@@ -844,6 +949,9 @@ def main_suite():
     run_one("sync_4M_uniform", {"BENCH_MODE": "sync", "BENCH_N": "4000000"})
     run_one("sync_1M_gauss", {"BENCH_MODE": "sync", "BENCH_DIST": "gauss"})
     run_one("sph_density_1M", {"BENCH_MODE": "sync", "BENCH_OP": "density"})
+    run_one("sync_1M_plummer_adaptive",
+            {"BENCH_MODE": "sync", "BENCH_DIST": "plummer",
+             "BENCH_H": "adaptive"})
     run_one("octree_build_64M",
             {"BENCH_MODE": "tree", "BENCH_N": "64000000"}, timeout=3600)
 

@@ -39,6 +39,7 @@ __all__ = [
     "stencil_counts_pallas",
     "stencil_counts_pallas_sym",
     "stencil_density_pallas_sym",
+    "stencil_counts_pallas_cross",
 ]
 
 INVALID_COORD = np.float32(1e30)
@@ -223,6 +224,13 @@ def _call(cand, tgt, D, cap, zb_cells, interpret):
 # by the strict slot-order mask inside the kernel.
 _SYM_DIRS = ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
 
+# Cross mode (disjoint target/candidate particle sets, e.g. two h-tiers):
+# every pair appears exactly once as (target in A, candidate in B), so the
+# FULL 27-neighborhood must be visited and no slot-order mask applies.
+_CROSS_DIRS = tuple(
+    (dxr, dyr) for dxr in (-1, 0, 1) for dyr in (-1, 0, 1)
+)
+
 
 def _cubic_spline_w(q):
     """Unnormalized cubic-spline SPH kernel (models/sph.py contract).
@@ -245,6 +253,8 @@ def _kernel_sym(
     zb_cells: int,
     same_r2: bool,
     op: str = "count",
+    cross: bool = False,
+    cap_c: int = 0,  # candidate-set ELL capacity; 0 = same as cap
 ):
     """Symmetric half-stencil: each unordered pair is evaluated ONCE.
 
@@ -264,27 +274,38 @@ def _kernel_sym(
     reference emitting neighbor indices for a separate force loop
     (find_neighbors.cuh:118): no index lists ever touch HBM. same_r2
     mirrors its count meaning (uniform h skips the candidate h plane).
+
+    cross=True: targets and candidates are DISJOINT particle sets packed
+    on the same grid (tgt_ref from set A, cand_hbm from set B — the
+    tiered adaptive-h decomposition). Each A-B pair appears exactly once,
+    so all 9 column windows run, the center slot-order mask is off, and
+    the candidate-side sums credit set B — one pass serves both tiers'
+    counts, at both tiers' own radii.
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
     Dp = jnp.int32(D + 2)
-    line = (D + 2) * cap  # lane offset between x, y, z (, r2) sections
+    cap_c = cap_c or cap
+    line = (D + 2) * cap_c  # lane offset between x, y, z (, r2) sections
 
     t = i * jnp.int32(D) + j
     slot = jax.lax.rem(t, 2)
 
-    # only the dx_rel in {0, +1} rows are needed: 2 DMAs per step of 3
-    # consecutive y-rows each (the dy in {-1, 0, +1} window)
+    # half stencil only needs the dx_rel in {0, +1} rows (2 DMAs per step
+    # of 3 consecutive y-rows each); cross mode visits all 3 x-rows
+    dxis = (0, 1, 2) if cross else (1, 2)
+    k0 = 0 if cross else 1  # cw row-block of padded x-row ii+dxi
+
     def _copies(tt, sl):
         ii = tt // jnp.int32(D)
         jj = jax.lax.rem(tt, jnp.int32(D))
         return [
             pltpu.make_async_copy(
                 cand_hbm.at[pl.ds((ii + jnp.int32(dxi)) * Dp + jj, 3)],
-                cw.at[sl, pl.ds(jnp.int32(3 * (dxi - 1)), 3)],
-                sems.at[sl, jnp.int32(dxi - 1)],
+                cw.at[sl, pl.ds(jnp.int32(3 * (dxi - k0)), 3)],
+                sems.at[sl, jnp.int32(dxi - k0)],
             )
-            for dxi in (1, 2)
+            for dxi in dxis
         ]
 
     @pl.when(t == 0)
@@ -301,21 +322,23 @@ def _kernel_sym(
         d.wait()
 
     T = zb_cells * cap  # targets per z-block
-    W = (zb_cells + 2) * cap  # candidate window
+    W = (zb_cells + 2) * cap_c  # candidate window
     n_zb = D // zb_cells
 
     # strict slot order for the center column: candidate's padded column
     # slot (toff + lane) > target's (toff + cap + sublane) — toff cancels,
-    # so the mask is one static tile
+    # so the mask is one static tile (non-cross only, where cap_c == cap)
     lane = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (T, W), 0)
     center_mask = (lane > sub + cap).astype(jnp.float32)
 
-    out2_ref[...] = jnp.zeros((1, 5, (D + 2) * cap), jnp.float32)
+    dirs = _CROSS_DIRS if cross else _SYM_DIRS
+    out2_ref[...] = jnp.zeros((1, len(dirs), (D + 2) * cap_c), jnp.float32)
 
     for zb in range(n_zb):  # static unroll; offsets stay lane-aligned
-        toff = zb * T
-        tile = tgt_ref[0, pl.ds(toff, T), :]  # (T, 4) sublane-major
+        toff_t = zb * T
+        toff = zb * zb_cells * cap_c  # candidate-buffer window offset
+        tile = tgt_ref[0, pl.ds(toff_t, T), :]  # (T, 4) sublane-major
         t_x = tile[:, 0:1]
         t_y = tile[:, 1:2]
         t_z = tile[:, 2:3]
@@ -323,8 +346,8 @@ def _kernel_sym(
         if op == "density":
             t_invh = 1.0 / t_r2  # invalid slots: h=1e30 -> ~0, W -> 0
         acc = jnp.zeros((T, W), jnp.float32)
-        for di, (dxr, dyr) in enumerate(_SYM_DIRS):
-            k = 3 * dxr + (dyr + 1)
+        for di, (dxr, dyr) in enumerate(dirs):
+            k = 3 * (dxr + 1 - k0) + (dyr + 1)
             c_x = cw[slot, k, 0, pl.ds(toff, W)].reshape(1, W)
             c_y = cw[slot, k, 0, pl.ds(line + toff, W)].reshape(1, W)
             c_z = cw[slot, k, 0, pl.ds(2 * line + toff, W)].reshape(1, W)
@@ -349,7 +372,7 @@ def _kernel_sym(
                     c_h = cw[slot, k, 0,
                              pl.ds(3 * line + toff, W)].reshape(1, W)
                     hits_c = _cubic_spline_w(r * (1.0 / c_h))
-            if (dxr, dyr) == (0, 0):
+            if (dxr, dyr) == (0, 0) and not cross:
                 hits_t = hits_t * center_mask
                 if not same_r2:
                     hits_c = hits_c * center_mask
@@ -360,17 +383,20 @@ def _kernel_sym(
                 out2_ref[0, di, pl.ds(toff, W)]
                 + jnp.sum(hits_c, axis=0)
             )
-        out_ref[0, pl.ds(toff, T), :] = jnp.sum(acc, axis=1, keepdims=True)
+        out_ref[0, pl.ds(toff_t, T), :] = jnp.sum(acc, axis=1, keepdims=True)
 
 
 @partial(jax.jit, static_argnames=(
-    "D", "cap", "zb_cells", "same_r2", "interpret", "op"))
-def _call_sym(cand, tgt, D, cap, zb_cells, same_r2, interpret, op="count"):
+    "D", "cap", "zb_cells", "same_r2", "interpret", "op", "cross"))
+def _call_sym(cand, tgt, D, cap, zb_cells, same_r2, interpret, op="count",
+              cross=False):
     Dp = D + 2
     S = 3 if same_r2 else 4
+    nd = 9 if cross else 5  # direction rows in the colsum output
+    nb = 3 if cross else 2  # x-row blocks resident per window set
     return pl.pallas_call(
         partial(_kernel_sym, D=D, cap=cap, zb_cells=zb_cells,
-                same_r2=same_r2, op=op),
+                same_r2=same_r2, op=op, cross=cross),
         grid=(D, D),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -385,17 +411,17 @@ def _call_sym(cand, tgt, D, cap, zb_cells, same_r2, interpret, op="count"):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 5, Dp * cap), lambda i, j: (i * D + j, 0, 0),
+                (1, nd, Dp * cap), lambda i, j: (i * D + j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((D * D, D * cap, 1), jnp.float32),
-            jax.ShapeDtypeStruct((D * D, 5, Dp * cap), jnp.float32),
+            jax.ShapeDtypeStruct((D * D, nd, Dp * cap), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 6, 1, S * Dp * cap), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, 3 * nb, 1, S * Dp * cap), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, nb)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -472,7 +498,46 @@ def stencil_counts_pallas_sym(
     return total.reshape(-1, cap).astype(jnp.int32)
 
 
-def _fold_sym(out_t, colsums, D: int, cap: int) -> jax.Array:
+@partial(jax.jit, static_argnames=(
+    "D", "cap_t", "cap_c", "zb_cells", "interpret", "op"))
+def _call_sym_cross(cand, tgt, D, cap_t, cap_c, zb_cells, interpret,
+                    op="count"):
+    Dp = D + 2
+    return pl.pallas_call(
+        partial(_kernel_sym, D=D, cap=cap_t, zb_cells=zb_cells,
+                same_r2=False, op=op, cross=True, cap_c=cap_c),
+        grid=(D, D),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(
+                (1, D * cap_t, 4), lambda i, j: (i * D + j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, D * cap_t, 1), lambda i, j: (i * D + j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 9, Dp * cap_c), lambda i, j: (i * D + j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((D * D, D * cap_t, 1), jnp.float32),
+            jax.ShapeDtypeStruct((D * D, 9, Dp * cap_c), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 9, 1, 4 * Dp * cap_c), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(cand, tgt)
+
+
+def _fold_sym(out_t, colsums, D: int, cap: int, dirs=_SYM_DIRS) -> jax.Array:
     """Combine target-side sums with the candidate-side column sums.
 
     Ghost z lanes wrap onto the real ends (zeros for open boundaries,
@@ -484,7 +549,7 @@ def _fold_sym(out_t, colsums, D: int, cap: int) -> jax.Array:
     Dc = D * cap
     total = out_t.reshape(D * D, Dc)
     zpad = jnp.zeros((D * D, Dc - cap), jnp.float32)
-    for di, (dxr, dyr) in enumerate(_SYM_DIRS):
+    for di, (dxr, dyr) in enumerate(dirs):
         col = colsums[:, di, :]  # (D*D, (D+2)*cap)
         mid = col[:, cap:cap + Dc]
         front = col[:, :cap]  # ghost z = -1 -> real z = D-1
@@ -499,6 +564,72 @@ def _fold_sym(out_t, colsums, D: int, cap: int) -> jax.Array:
             ).reshape(D * D, Dc)
         total = total + contrib
     return total
+
+
+def stencil_counts_pallas_cross(
+    tgt_arrays,  # (px, py, pz, r2): (n_cells, cap_t) ELL of particle set A
+    cand_arrays,  # (px, py, pz, r2): (n_cells, cap_c) ELL of particle set B
+    cand_valid: jax.Array,  # (n_cells, cap_c)
+    lengths,
+    periodic: Tuple[bool, bool, bool],
+    level: int,
+    zb_cells: int = 0,
+    op: str = "count",
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Cross-set pass: counts (or density sums, op="density") between two
+    DISJOINT particle sets packed on the same row-major grid — the
+    cross-tier leg of the adaptive-h decomposition (the regime the
+    reference's warp-BFS kernel handles with per-node opening,
+    find_neighbors.cuh:46-75). One kernel pass returns BOTH sides:
+    (target-side results on A's ELL layout, candidate-side results on B's
+    ELL layout). The 4th channel is r2 for counts, h for density.
+    """
+    tpx, tpy, tpz, tex = tgt_arrays
+    cpx, cpy, cpz, cex = cand_arrays
+    D = 1 << int(level)
+    cap_t = tpx.shape[1]
+    cap_c = cpx.shape[1]
+    if zb_cells == 0:
+        for zb in range(1, D + 1):
+            if D % zb == 0 and (zb * cap_t) % 128 == 0 and (zb * cap_c) % 128 == 0:
+                zb_cells = zb
+                break
+        else:
+            raise ValueError(f"no lane-aligned z-block for D={D}, caps "
+                             f"{cap_t}/{cap_c}")
+    assert (zb_cells * cap_t) % 128 == 0 and (zb_cells * cap_c) % 128 == 0
+    assert D % zb_cells == 0
+    shp_c = (D, D, D, cap_c)
+    cand = pad_cell_grid(
+        cpx.reshape(shp_c), cpy.reshape(shp_c), cpz.reshape(shp_c),
+        cand_valid.reshape(shp_c), lengths, periodic,
+        extra=cex.reshape(shp_c),
+        extra_fill=float(INVALID_COORD) if op == "density" else -1.0,
+    )
+    tgt = jnp.stack(
+        [a.astype(jnp.float32) for a in (tpx, tpy, tpz, tex)], axis=-1
+    ).reshape(D * D, D * cap_t, 4)
+
+    prev_x64 = jax.config.jax_enable_x64
+    try:
+        if prev_x64:
+            jax.config.update("jax_enable_x64", False)
+        out_t, colsums = _call_sym_cross(
+            cand, tgt, D=D, cap_t=cap_t, cap_c=cap_c,
+            zb_cells=int(zb_cells), interpret=interpret, op=op,
+        )
+    finally:
+        if prev_x64:
+            jax.config.update("jax_enable_x64", True)
+
+    res_a = out_t.reshape(-1, cap_t)
+    zero_b = jnp.zeros((D * D, D * cap_c), jnp.float32)
+    res_b = _fold_sym(zero_b, colsums, D, cap_c, dirs=_CROSS_DIRS)
+    if op == "count":
+        res_a = res_a.astype(jnp.int32)
+        res_b = res_b.astype(jnp.int32)
+    return res_a, res_b.reshape(-1, cap_c)
 
 
 def stencil_density_pallas_sym(

@@ -232,6 +232,7 @@ def ell_pack_gather(
     level: int,
     n_valid=None,
     blk: int = 16,
+    cell_override: jax.Array = None,
 ) -> Tuple[Tuple[jax.Array, ...], jax.Array, jax.Array, jax.Array]:
     """Run-window ELL pack: one stacked row gather over per-cell runs.
 
@@ -267,10 +268,16 @@ def ell_pack_gather(
     F = len(arrays)
     assert all(a.dtype == jnp.float32 for a in arrays)
 
-    # clamp in the key dtype BEFORE the int32 cast (sentinel keys at
-    # shift 0 would wrap negative); force slots past n_valid to the
-    # out-of-range cell so they fall out of every run
-    cell = jnp.minimum(keys_sorted >> shift, dt.type(n_cells)).astype(jnp.int32)
+    if cell_override is not None:
+        # caller-provided sorted cell ids (tiered path: -1 / n_cells
+        # sentinels route foreign-tier particles out of every run)
+        cell = cell_override.astype(jnp.int32)
+    else:
+        # clamp in the key dtype BEFORE the int32 cast (sentinel keys at
+        # shift 0 would wrap negative); force slots past n_valid to the
+        # out-of-range cell so they fall out of every run
+        cell = jnp.minimum(
+            keys_sorted >> shift, dt.type(n_cells)).astype(jnp.int32)
     if n_valid is not None:
         i = jnp.arange(n, dtype=jnp.int32)
         cell = jnp.where(i < jnp.asarray(n_valid, jnp.int32), cell, n_cells)
