@@ -24,7 +24,14 @@ if "/root/.axon_site" not in os.environ.get("PYTHONPATH", "") and os.path.isdir(
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/cstone_tpu_jax_cache")
+# persistent jit cache INSIDE the repo: /tmp is wiped between rounds, so a
+# cache there re-pays the 80-110s/config compiles every round (the r4 suite
+# died at rc=124 largely on compile time). The repo directory survives.
+_CACHE_DIR = os.environ.get(
+    "BENCH_JIT_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cstone_jax_cache"),
+)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
@@ -106,7 +113,7 @@ def _main_sync_once(cap_over):
     n = int(os.environ.get("BENCH_N", 1_000_000))
     bucket = int(os.environ.get("BENCH_BUCKET", 64))
     focus_bucket = int(os.environ.get("BENCH_FOCUS_BUCKET", 64))
-    _h_env = os.environ.get("BENCH_H", "0.012")
+    _h_env = os.environ.get("BENCH_H", "")
     reps = int(os.environ.get("BENCH_REPS", 5))
     # BENCH_DIST=uniform|gauss|plummer — the reference's perf workloads
     # (random.hpp RandomGaussianCoordinates, plummer.hpp; octree.cpp:45-72)
@@ -115,10 +122,11 @@ def _main_sync_once(cap_over):
     if _h_env == "adaptive" and dist == "uniform":
         print(
             "WARNING: BENCH_H=adaptive requires a clustered BENCH_DIST "
-            "(gauss|plummer); using fixed h=0.012 on the uniform sample",
+            "(gauss|plummer); using the n-scaled fixed h on the uniform "
+            "sample",
             file=sys.stderr, flush=True,
         )
-    h_val = 0.012 if _h_env == "adaptive" else float(_h_env)
+    h_val = default_h(n) if _h_env in ("", "adaptive") else float(_h_env)
 
     rng = np.random.RandomState(42)
     if dist == "gauss":
@@ -504,11 +512,20 @@ def main_tree():
     )
 
 
+def default_h(n: int) -> float:
+    """Search radius holding ~58 neighbors at any n (h ∝ n^(-1/3)): the
+    1M reference point is h=0.012 (neighbor_driver.cu:175-195's regime);
+    larger n keeps the SAME mean neighbor count so throughputs stay
+    comparable in pair terms."""
+    return 0.012 * (1_000_000.0 / float(n)) ** (1.0 / 3.0)
+
+
 def main():
     n = int(os.environ.get("BENCH_N", 1_000_000))
     bucket = int(os.environ.get("BENCH_BUCKET", 64))
-    _h_env = os.environ.get("BENCH_H", "0.012")
-    h_val = 0.012 if _h_env == "adaptive" else float(_h_env)
+    bench_op = os.environ.get("BENCH_OP", "count")
+    _h_env = os.environ.get("BENCH_H", "")
+    h_val = default_h(n) if _h_env in ("", "adaptive") else float(_h_env)
     reps = int(os.environ.get("BENCH_REPS", 5))
     group_size = int(os.environ.get("BENCH_GROUP", 256))
     cand_leaf_cap = int(os.environ.get("BENCH_LEAF_CAP", 320))
@@ -905,19 +922,38 @@ def main():
 
 
 def main_suite():
-    """Run the BASELINE.md scale configs, one subprocess each.
+    """Run the BASELINE.md scale configs, one subprocess each, within a
+    wall-clock budget.
 
-    The headline (1M uniform full sync + neighbor counts) prints its JSON
-    line on STDOUT — the driver's parsed metric; every other config's JSON
-    rides STDERR with a "config" tag so the recorded tail carries the
-    whole table (BASELINE.md configs 1-3: 2M/64M octree rebuild, 4M
-    single-rank sync, clustered 1M throughput). Subprocesses keep each
-    config's HBM footprint and axon tunnel session isolated; the parent
-    never initializes a backend.
+    The headline (1M uniform full sync + neighbor counts) runs FIRST and
+    prints its JSON line on STDOUT — and is RE-printed as the suite's very
+    last stdout line so the driver's parsed metric is always the headline;
+    every other config's JSON rides STDERR with a "config" tag so the
+    recorded tail carries the whole table (BASELINE.md configs 1-3: 2M/64M
+    octree rebuild, 4M single-rank sync, clustered 1M throughput).
+
+    Budget discipline (the r4 suite died at rc=124 with 4 configs dark):
+    BENCH_BUDGET seconds (default 3300) bound the whole suite; a config
+    whose per-config timeout no longer fits the remaining budget is
+    SKIPPED with an explicit `[suite] skipped` line instead of the whole
+    run dying mid-config. Configs are ordered so historically-unrecorded
+    ones run before the long-recorded 2M/4M ones. Subprocesses keep each
+    config's HBM footprint and axon tunnel session isolated and share the
+    in-repo persistent jit cache; the parent never initializes a backend.
     """
     import subprocess
 
-    def run_one(tag, env_over, to_stdout=False, timeout=2400):
+    budget = float(os.environ.get("BENCH_BUDGET", 3300))
+    t_start = time.time()
+    headline = {}
+
+    def run_one(tag, env_over, to_stdout=False, timeout=900, min_need=180):
+        remaining = budget - (time.time() - t_start)
+        if remaining < min_need:
+            print(f"[suite] skipped {tag}: {remaining:.0f}s left of "
+                  f"{budget:.0f}s budget", file=sys.stderr, flush=True)
+            return
+        timeout = min(timeout, remaining)
         env = dict(os.environ)
         env.update(env_over)
         env["BENCH_SUITE"] = "0"
@@ -932,6 +968,8 @@ def main_suite():
                 if line.startswith("{"):
                     d = json.loads(line)
                     d["config"] = tag
+                    if to_stdout:
+                        headline.update(d)
                     print(json.dumps(d),
                           file=sys.stdout if to_stdout else sys.stderr,
                           flush=True)
@@ -945,15 +983,19 @@ def main_suite():
             print(f"[suite] {tag} error: {e}", file=sys.stderr, flush=True)
 
     run_one("sync_1M_uniform", {"BENCH_MODE": "sync"}, to_stdout=True)
-    run_one("octree_build_2M", {"BENCH_MODE": "tree", "BENCH_N": "2000000"})
-    run_one("sync_4M_uniform", {"BENCH_MODE": "sync", "BENCH_N": "4000000"})
-    run_one("sync_1M_gauss", {"BENCH_MODE": "sync", "BENCH_DIST": "gauss"})
-    run_one("sph_density_1M", {"BENCH_MODE": "sync", "BENCH_OP": "density"})
     run_one("sync_1M_plummer_adaptive",
             {"BENCH_MODE": "sync", "BENCH_DIST": "plummer",
              "BENCH_H": "adaptive"})
+    run_one("sph_density_1M", {"BENCH_MODE": "sync", "BENCH_OP": "density"})
+    run_one("sync_1M_gauss", {"BENCH_MODE": "sync", "BENCH_DIST": "gauss"})
     run_one("octree_build_64M",
-            {"BENCH_MODE": "tree", "BENCH_N": "64000000"}, timeout=3600)
+            {"BENCH_MODE": "tree", "BENCH_N": "64000000"},
+            timeout=1500, min_need=300)
+    run_one("octree_build_2M", {"BENCH_MODE": "tree", "BENCH_N": "2000000"})
+    run_one("sync_4M_uniform", {"BENCH_MODE": "sync", "BENCH_N": "4000000"})
+    if headline:
+        # last stdout line = the parsed metric, whatever ran in between
+        print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

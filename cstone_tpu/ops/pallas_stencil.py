@@ -232,6 +232,22 @@ _CROSS_DIRS = tuple(
 )
 
 
+def _check_colsum_size(D: int, cap: int, nd: int, limit=4 << 30):
+    """The candidate-side colsum output is (D*D, nd, (D+2)*cap) f32 in HBM
+    — nd ghost-padded copies of the ELL grid. At level 7 (D=128) with
+    cap 64 that is ~2.7GB (sym) / ~4.9GB (cross) per pass; past ~4GB the
+    allocation is hopeless on any current chip, so fail with a clear
+    message instead of an HBM OOM. Callers needing finer levels should
+    lower the cap or split the pass."""
+    bytes_ = D * D * nd * (D + 2) * cap * 4
+    if bytes_ > limit:
+        raise ValueError(
+            f"colsum buffer {bytes_ / 2**30:.1f}GB exceeds {limit / 2**30:.0f}GB "
+            f"(D={D}, cap={cap}, {nd} directions); lower the cap or use a "
+            "coarser level"
+        )
+
+
 def _cubic_spline_w(q):
     """Unnormalized cubic-spline SPH kernel (models/sph.py contract).
     q may be inf/NaN for invalid slots: both select the 0 branch."""
@@ -471,6 +487,7 @@ def stencil_counts_pallas_sym(
             )
     assert (zb_cells * cap) % 128 == 0, "z-block must be lane-aligned"
     assert D % zb_cells == 0
+    _check_colsum_size(D, cap, len(_SYM_DIRS))
     shp = (D, D, D, cap)
     cand = pad_cell_grid(
         px.reshape(shp), py.reshape(shp), pz.reshape(shp),
@@ -600,6 +617,7 @@ def stencil_counts_pallas_cross(
                              f"{cap_t}/{cap_c}")
     assert (zb_cells * cap_t) % 128 == 0 and (zb_cells * cap_c) % 128 == 0
     assert D % zb_cells == 0
+    _check_colsum_size(D, cap_c, len(_CROSS_DIRS))
     shp_c = (D, D, D, cap_c)
     cand = pad_cell_grid(
         cpx.reshape(shp_c), cpy.reshape(shp_c), cpz.reshape(shp_c),
@@ -665,6 +683,7 @@ def stencil_density_pallas_sym(
                 f"no lane-aligned z-block for D={D}, cap={cap}"
             )
     assert (zb_cells * cap) % 128 == 0 and D % zb_cells == 0
+    _check_colsum_size(D, cap, len(_SYM_DIRS))
     shp = (D, D, D, cap)
     cand = pad_cell_grid(
         px.reshape(shp), py.reshape(shp), pz.reshape(shp),

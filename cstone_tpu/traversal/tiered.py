@@ -64,7 +64,18 @@ def choose_tier_levels(
     h distribution — coarsest from max(h), finest from the lower h bulk
     (5th percentile), one level per octave in between."""
     h = np.asarray(hs, np.float64)
-    lo = max(2, int(np.floor(np.log2(box_min_side / (2.0 * float(h.max()))))))
+    lo = int(np.floor(np.log2(box_min_side / (2.0 * float(h.max())))))
+    if lo < 2:
+        # level 2 is the coarsest the 27-stencil supports (>=3 distinct
+        # cells per periodic dim); a larger max(h) has no admissible tier
+        # and would silently undercount — callers must fall back to a
+        # dense path (same contract as choose_cell_level)
+        raise ValueError(
+            f"max(h)={float(h.max()):.4g} needs a grid coarser than level 2 "
+            f"(box side {box_min_side:.4g}); no admissible tier — use a "
+            "dense/tree path instead"
+        )
+    lo = min(lo, max_level)  # uniformly small h: single finest tier
     lvl_hi = int(np.floor(np.log2(box_min_side / (2.0 * float(np.quantile(h, 0.05))))))
     hi = min(max_level, max(lo, lvl_hi))
     levels = list(range(lo, hi + 1))
@@ -145,7 +156,6 @@ def cell_list_neighbor_counts_tiered(
     tier_s, keys_s, xs_s, ys_s, zs_s, hs_s, orig_s = jax.lax.sort(
         (tier, keys_sorted, xs, ys, zs, hs, orig), num_keys=2, is_stable=True
     )
-    r2_all = (2.0 * hs_s) ** 2
 
     def cells_for(t, level):
         n_cells = 1 << (3 * level)

@@ -118,29 +118,65 @@ def compute_node_counts(
     return jnp.minimum(counts, jnp.asarray(max_count, dtype=jnp.uint32))
 
 
+def _shift_up(a: jax.Array, k: int, fill) -> jax.Array:
+    """out[i] = a[i + k] with `fill` past the end (k >= 0, static)."""
+    if k == 0:
+        return a
+    return jnp.concatenate([a[k:], jnp.full((k,), fill, a.dtype)])
+
+
+def _shift_down(a: jax.Array, k: int, fill) -> jax.Array:
+    """out[i] = a[i - k] with `fill` before the start (k >= 0, static)."""
+    if k == 0:
+        return a
+    return jnp.concatenate([jnp.full((k,), fill, a.dtype), a[:-k]])
+
+
+def _select_shift_down(a: jax.Array, k_arr: jax.Array, fill) -> jax.Array:
+    """out[i] = a[i - k_arr[i]] for k_arr in [0, 8) — an 8-way static-shift
+    select instead of a gather (XLA TPU gathers cost ~18ns per INDEX; the
+    8 shifted copies + selects are pure VPU passes)."""
+    out = jnp.full(a.shape, fill, a.dtype)
+    for k in range(8):
+        out = jnp.where(k_arr == k, _shift_down(a, k, fill), out)
+    return out
+
+
 def _sibling_and_level(tree_keys: jax.Array, n_nodes) -> Tuple[jax.Array, jax.Array]:
     """Vectorized siblingAndLevel (csarray.hpp:269-283).
 
     Returns (sibling_idx, level) per node slot; sibling_idx == -1 where the
-    8-sibling group is incomplete or level == 0.
+    8-sibling group is incomplete or level == 0. Gather-free: the group
+    start/end key lookups tree_keys[i - sib] and tree_keys[i - sib + 8]
+    ride 8-way static-shift selects (sib is in [0, 8)).
     """
     dt = tree_keys.dtype
     cap = tree_keys.shape[0] - 1
     this = tree_keys[:-1]
     rng = tree_keys[1:] - this
 
-    valid = jnp.arange(cap, dtype=jnp.int32) < n_nodes
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    valid = idx < n_nodes
     # padded slots have rng == 0; feed a safe power of 8 instead
     safe_rng = jnp.where(valid & (rng > 0), rng, node_range(dt, max_tree_level(dt)))
     level = tree_level(safe_rng)
 
     sib = octal_digit(this, level)
-    group = jnp.arange(cap, dtype=jnp.int32) - sib
-    group_end = jnp.clip(group + 8, 0, cap)
-    group = jnp.clip(group, 0, cap)
+    end_key = node_range(dt, 0)
+    # group-start key tree_keys[i - sib]: shift select (i - sib < 0 can
+    # only happen for i < 8 with a malformed prefix; mask those below)
+    key_group = _select_shift_down(this, sib, end_key)
+    # group-end key tree_keys[i - sib + 8] = value at i + (8 - sib):
+    # select over k' = 8 - sib in [1, 8]
+    key_group_end = jnp.full(this.shape, end_key, dt)
+    for kp in range(1, 9):
+        key_group_end = jnp.where(
+            sib == 8 - kp, _shift_up(this, kp, end_key), key_group_end
+        )
     parent_range = node_range(dt, jnp.maximum(level, 1) - 1)
-    siblings_ok = tree_keys[group_end] == tree_keys[group] + parent_range
-    sib = jnp.where(siblings_ok & (level > 0), sib, jnp.int32(-1))
+    siblings_ok = key_group_end == key_group + parent_range
+    bad_prefix = sib > idx  # group would start before the array
+    sib = jnp.where(siblings_ok & (level > 0) & ~bad_prefix, sib, jnp.int32(-1))
     return sib, level
 
 
@@ -157,11 +193,18 @@ def rebalance_decision(
 
     sib, level = _sibling_and_level(tree_keys, n_nodes)
 
-    # parent (8-sibling-group) counts: direct (cap, 8) gather + sum in i64
-    # (a large i64 cumsum lowers to a u32-pair scan that overflows TPU vmem)
-    group = jnp.clip(idx - jnp.maximum(sib, 0), 0, cap - 1)
-    sib_idx = jnp.minimum(group[:, None] + jnp.arange(8, dtype=jnp.int32)[None, :], cap - 1)
-    parent_count = jnp.sum(counts[sib_idx].astype(jnp.int64), axis=1)
+    # parent (8-sibling-group) counts, gather-free: ws8[j] = sum of
+    # counts[j..j+7] from three doubling shifted adds, then
+    # parent_count[i] = ws8[i - sib] via the 8-way shift select. The old
+    # (cap, 8) gather paid ~18ns per index — ~58ms at capacity 400k, the
+    # dominant term of the 2M octree build (VERDICT r4 #2); this is three
+    # elementwise passes. i64 element ops lower to plain u32-pair vector
+    # arithmetic (only the big i64 cumsum reduce-window is pathological).
+    c64 = counts.astype(jnp.int64)
+    s1 = c64 + _shift_up(c64, 1, jnp.int64(0))
+    s2 = s1 + _shift_up(s1, 2, jnp.int64(0))
+    ws8 = s2 + _shift_up(s2, 4, jnp.int64(0))
+    parent_count = _select_shift_down(ws8, jnp.maximum(sib, 0), jnp.int64(0))
 
     bucket = jnp.asarray(bucket_size, dtype=jnp.int64)
     merge = (sib > 0) & (parent_count <= bucket)
@@ -184,30 +227,54 @@ def rebalance_tree(
 ) -> Tuple[jax.Array, jax.Array]:
     """Emit the rebalanced tree from op codes (csarray.hpp:350-409).
 
-    Gather formulation: output slot j finds its source node through the
-    inclusive scan of op codes, then offsets key by j's rank within the
-    split. Returns (new_keys (cap+1,), new_n_nodes).
+    Scatter + scan-fill formulation: each emitting source (op > 0)
+    scatters its start key and a packed (output position, new level)
+    record to its FIRST output slot (the exclusive scan of op codes);
+    running-max scans fill the records forward across each split's slot
+    range, and every output slot j then computes its key as
+    start + (j - first_slot) * nodeRange(new_level) — all elementwise.
+    This replaces the old per-slot searchsorted + four source gathers
+    (~18ns/index on XLA TPU, ~30ms at capacity 400k) with two cap-sized
+    scatters and two log-depth scans. Returns (new_keys (cap+1,),
+    new_n_nodes).
     """
     dt = tree_keys.dtype
     cap = tree_keys.shape[0] - 1
     lmax = max_tree_level(dt)
 
-    inc = jnp.cumsum(node_ops.astype(jnp.int32))  # inclusive scan
+    ops = node_ops.astype(jnp.int32)
+    inc = jnp.cumsum(ops)  # inclusive scan
     new_total = inc[-1]
+    exc = inc - ops
 
-    j = jnp.arange(cap, dtype=jnp.int32)
-    src = _searchsorted(inc, j, side="right")
-    src = jnp.minimum(src, cap - 1)
-    exc = inc[src] - node_ops[src]  # exclusive scan at src
-    s = (j - exc).astype(dt)
-
-    this = tree_keys[src]
-    rng = tree_keys[src + 1] - this
+    this = tree_keys[:-1]
+    rng = tree_keys[1:] - this
     safe_rng = jnp.where(rng > 0, rng, node_range(dt, lmax))
     level = tree_level(safe_rng)
-    level_diff = log8_ceil(node_ops[src].astype(dt))
+    level_diff = log8_ceil(node_ops.astype(dt))
+    new_level = jnp.minimum(level + level_diff, lmax).astype(jnp.int32)
 
-    new_key = this + s * node_range(dt, jnp.minimum(level + level_diff, lmax))
+    # node 0 never merges (sibling 0), so output slot 0 always receives a
+    # record and the scan fills start from real data, not the zero init
+    emit = ops > 0
+    tgt = jnp.where(emit, exc, cap)  # cap = dropped
+    key_scat = jnp.zeros((cap,), dt).at[tgt].set(this, mode="drop")
+    # packed record: exc strictly increases over emitting sources, so the
+    # running max always carries the LATEST source's record; 5 bits hold
+    # new_level (lmax <= 21); exc*32 stays far below 2^31 for any capacity
+    meta = exc * 32 + new_level
+    meta_scat = jnp.zeros((cap,), jnp.int32).at[tgt].set(meta, mode="drop")
+    # associative_scan (log-depth slice+max) rather than lax.cummax: the
+    # 64-bit reduce-window lowering can blow scoped VMEM at multi-M sizes
+    # (see ops/primitives.cumsum64)
+    key_fill = jax.lax.associative_scan(jnp.maximum, key_scat)
+    meta_fill = jax.lax.associative_scan(jnp.maximum, meta_scat)
+    first_slot = meta_fill // 32
+    lvl = meta_fill % 32
+
+    j = jnp.arange(cap, dtype=jnp.int32)
+    s = (j - first_slot).astype(dt)
+    new_key = key_fill + s * node_range(dt, lvl)
     end_key = node_range(dt, 0)
     new_keys = jnp.where(j < new_total, new_key, end_key)
     new_keys = jnp.concatenate([new_keys, jnp.full((1,), end_key, dtype=dt)])

@@ -74,3 +74,20 @@ def test_tiered_single_level_degenerates():
     assert not bool(ovf)
     expected, _, _ = brute_force_counts(x, y, z, h, (-1, 1, -1, 1, -1, 1), True)
     np.testing.assert_array_equal(np.asarray(counts), expected)
+
+
+def test_choose_tier_levels_inadmissible_raises():
+    # max(h) too large for level 2 (2*h > side/4): silently clamping to an
+    # inadmissible tier would undercount without raising overflow — the
+    # contract is to fail loudly so callers fall back to a dense path
+    h = np.array([0.01, 0.3], np.float32)  # 2*0.3 = 0.6 > 2.0/4 = 0.5
+    with pytest.raises(ValueError, match="no admissible tier"):
+        choose_tier_levels(h, 2.0, max_tiers=3)
+
+
+def test_choose_tier_levels_tiny_h_single_finest_tier():
+    # uniformly tiny h: lo would exceed max_level; must clamp to ONE
+    # finest tier, not return an empty tuple
+    h = np.full((100,), 0.001, np.float32)  # lo = log2(2/0.002) = 9 > 7
+    levels = choose_tier_levels(h, 2.0, max_tiers=3, max_level=7)
+    assert levels == (7,)
