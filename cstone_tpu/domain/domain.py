@@ -73,6 +73,11 @@ class DomainState:
     # rebalanceStatus freshness guard + convergence short-circuit,
     # octree_focus_mpi.hpp:669-677, csarray.hpp:430-448)
     linked: LinkedOctree
+    # True when last sync's focus converge reported convergence: the next
+    # sync's first converge iteration then reuses `linked` instead of
+    # rebuilding it from focus_leaves (multi-rank warm path — the same
+    # freshness guard applied past n_ranks == 1)
+    focus_converged: jax.Array
 
 
 @jax.tree_util.register_dataclass
@@ -276,6 +281,7 @@ class Domain:
             focus_leaves=focus0.keys, focus_n=jnp.int32(1),
             first_call=jnp.bool_(True),
             linked=build_linked_octree(focus0.keys, jnp.int32(1)),
+            focus_converged=jnp.bool_(False),
         )
 
     # ------------------------------------------------------------------
@@ -369,7 +375,8 @@ class Domain:
         n_pool_valid = self._psum(n_local).astype(jnp.int32)
 
         focus_leaves0, focus_n0 = state.focus_leaves, state.focus_n
-        _, _, linked, node_counts_f, focus_conv_ovf, _ = focus_converge(
+        (_, _, linked, node_counts_f, focus_conv_ovf, _,
+         focus_converged) = focus_converge(
             focus_leaves0,
             focus_n0,
             pool_keys,
@@ -382,6 +389,8 @@ class Domain:
             _itm(self.theta),
             axis_name=self.axis_name,
             curve=self.curve,
+            linked0=state.linked,
+            use_carried=state.focus_converged & ~state.first_call,
         )
         cap_leaf = linked.leaves.shape[0] - 1
         # leaf counts extracted from the converge loop's final count pass
@@ -486,6 +495,7 @@ class Domain:
             focus_n=linked.n_leaf,
             first_call=jnp.bool_(False),
             linked=linked,
+            focus_converged=focus_converged,
         )
         result = SyncResult(
             keys=new_keys,
@@ -901,6 +911,7 @@ class Domain:
             )
             focus_conv_ovf = jnp.int32(0)
             svc_ovf = jnp.int32(0)
+            focus_converged = ~tree_changed
         else:
             def counts_fn(leaves, n_leaf):
                 return self._leaf_counts_service(
@@ -908,7 +919,8 @@ class Domain:
                     treelet_cap, global_tree=tree,
                 )
 
-            _, _, linked, node_counts_f, focus_conv_ovf, svc_ovf = focus_converge(
+            (_, _, linked, node_counts_f, focus_conv_ovf, svc_ovf,
+             focus_converged) = focus_converge(
                 state.focus_leaves,
                 state.focus_n,
                 None,
@@ -923,6 +935,8 @@ class Domain:
                 curve=self.curve,
                 leaf_counts_fn=counts_fn,
                 skip_macs=single,
+                linked0=state.linked,
+                use_carried=state.focus_converged & ~state.first_call,
             )
             cap_leaf = linked.leaves.shape[0] - 1
 
@@ -1113,6 +1127,7 @@ class Domain:
             focus_n=linked.n_leaf,
             first_call=jnp.bool_(False),
             linked=linked,
+            focus_converged=focus_converged,
         )
         result = SyncResult(
             keys=new_keys,

@@ -116,7 +116,10 @@ def focus_converge(
     curve: str = HILBERT,
     leaf_counts_fn: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
     skip_macs: bool = False,
-) -> Tuple[jax.Array, jax.Array, LinkedOctree, jax.Array, jax.Array, jax.Array]:
+    linked0: LinkedOctree | None = None,
+    use_carried=None,
+) -> Tuple[jax.Array, jax.Array, LinkedOctree, jax.Array, jax.Array,
+           jax.Array, jax.Array]:
     """Fixed-point focus tree construction (octree_focus_mpi.hpp:535-553).
 
     Iterates CombinedUpdate with exact counts and geometric min-MAC
@@ -128,15 +131,21 @@ def focus_converge(
     updateCounts peer exchange (octree_focus_mpi.hpp:205-273).
 
     Returns (leaves, n_leaf, linked tree, node_counts, overflow,
-    count_service_overflow). The
+    count_service_overflow, converged). The
     linked tree and node counts are the ones computed in the final
     iteration, so the Domain reuses them for layout/halos without a
     second build or count round (the reference likewise shares updateTree's
     state with updateCounts, octree_focus_mpi.hpp:108-273). A warm,
     already-converged tree therefore costs exactly one linked build plus
-    one count pass per sync. On non-convergence at max_iters the overflow
-    flag is set (cap_leaf+1) so host retry loops re-run with larger
-    capacity rather than silently using a stale tree.
+    one count pass per sync — and when the caller carries last sync's
+    linked tree (`linked0`) with `use_carried` True (its converged flag
+    from last sync), even that build is skipped: leaves0 is bit-identical
+    to linked0.leaves, so the first iteration reuses the carried structure
+    — the multi-rank analog of the reference's rebalanceStatus freshness
+    guard (octree_focus_mpi.hpp:669-677). Later iterations (structure
+    actually changed) always rebuild. On non-convergence at max_iters the
+    overflow flag is set (cap_leaf+1) so host retry loops re-run with
+    larger capacity rather than silently using a stale tree.
     """
     from ..traversal.macs import mark_macs
 
@@ -172,8 +181,17 @@ def focus_converge(
 
     cap_leaf = leaves0.shape[0] - 1
 
-    def step(leaves, n_leaf, it, max_req, cnt_ovf):
-        linked = build_linked_octree(leaves, n_leaf)
+    def step(leaves, n_leaf, it, max_req, cnt_ovf, carried=None):
+        if carried is None:
+            linked = build_linked_octree(leaves, n_leaf)
+        else:
+            # warm first iteration: leaves IS linked0.leaves when last
+            # sync converged, so the one-pass build is redundant
+            linked = jax.lax.cond(
+                use_carried,
+                lambda: carried,
+                lambda: build_linked_octree(leaves, n_leaf),
+            )
         node_counts, ovf = counts_of(linked)
         node_macs = macs_of(linked)
         new_leaves, new_n, converged = focus_update_once(
@@ -202,7 +220,11 @@ def focus_converge(
         return step(leaves, n_leaf, it, max_req, cnt_ovf)
 
     n0 = jnp.asarray(n_leaf0, jnp.int32)
-    state = step(leaves0, n0, jnp.int32(0), n0, jnp.int32(0))
+    state = step(
+        leaves0, n0, jnp.int32(0), n0, jnp.int32(0),
+        carried=linked0 if (linked0 is not None and use_carried is not None)
+        else None,
+    )
     state = jax.lax.while_loop(cond, body, state)
     _, _, linked, node_counts, converged, _, max_req, cnt_ovf = state
 
@@ -216,4 +238,5 @@ def focus_converge(
     # cnt_ovf (count-service/treelet capacity) is reported separately so the
     # host retry loop grows the right capacity (CAP_NAMES 'treelet', not
     # 'focus')
-    return linked.leaves, linked.n_leaf, linked, node_counts, overflow, cnt_ovf
+    return (linked.leaves, linked.n_leaf, linked, node_counts, overflow,
+            cnt_ovf, converged)

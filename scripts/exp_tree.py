@@ -74,27 +74,14 @@ def main():
     )(x, y, z)
     np.asarray(keys[:1])
 
-    # --- converged tree for component timing -------------------------------
-    s_build = jax.jit(
-        lambda k: _compute_octree_jit(k, bucket, capacity, MAX_UINT32, None,
-                                      init_level)
-    )
-    t0 = time.time()
-    tree = s_build(keys)
-    nn = int(np.asarray(tree.n_nodes))
-    print(f"build compile+run={time.time()-t0:.1f}s n_nodes={nn}")
-    print(f"full build: {t_ms(s_build, keys):.1f}ms")
-
-    # --- per-component timings on the converged tree ------------------------
+    # --- converged tree via the SMALL jits first (fast compiles) ------------
     s_counts = jax.jit(
         lambda tk: compute_node_counts(tk, keys, MAX_UINT32, None))
     s_dec = jax.jit(
         lambda tk, c, nn_: rebalance_decision(tk, c, nn_, bucket))
-    ops, conv = s_dec(tree.keys, tree.counts, tree.n_nodes)
     s_emit = jax.jit(rebalance_tree)
 
-    # --- iteration count ----------------------------------------------------
-    def count_iters(keys):
+    def converge(keys):
         tree0 = uniform_tree(keys.dtype, init_level, capacity)
         c0 = s_counts(tree0.keys)
         t = CsArray(keys=tree0.keys, counts=c0, n_nodes=tree0.n_nodes)
@@ -107,22 +94,41 @@ def main():
             nc = s_counts(nk)
             t = CsArray(keys=nk, counts=nc, n_nodes=nn2)
             it += 1
-        return it
+        return t, it
 
-    print(f"iterations to converge: {count_iters(keys)}")
+    t0 = time.time()
+    tree, iters = converge(keys)
+    nn = int(np.asarray(tree.n_nodes))
+    print(f"host-loop converge: {time.time()-t0:.1f}s iters={iters} "
+          f"n_nodes={nn}", flush=True)
 
-    print(f"compute_node_counts: {t_ms(s_counts, tree.keys):.1f}ms")
+    ops, conv = s_dec(tree.keys, tree.counts, tree.n_nodes)
+    print(f"compute_node_counts: {t_ms(s_counts, tree.keys):.1f}ms", flush=True)
     print(f"rebalance_decision:  "
-          f"{t_ms(s_dec, tree.keys, tree.counts, tree.n_nodes):.1f}ms")
+          f"{t_ms(s_dec, tree.keys, tree.counts, tree.n_nodes):.1f}ms",
+          flush=True)
     print(f"rebalance_tree:      "
-          f"{t_ms(s_emit, tree.keys, ops, tree.n_nodes):.1f}ms")
+          f"{t_ms(s_emit, tree.keys, ops, tree.n_nodes):.1f}ms", flush=True)
 
     # update step (decision + emit + count fused)
     from cstone_tpu.tree.csarray import update_octree
 
     s_update = jax.jit(lambda t, k: update_octree(t, k, bucket, MAX_UINT32, None))
     out = s_update(tree, keys)
-    print(f"update_octree:       {t_ms(s_update, tree, keys):.1f}ms")
+    print(f"update_octree:       {t_ms(s_update, tree, keys):.1f}ms", flush=True)
+
+    # --- the fused fixed-point build (slow compile) last --------------------
+    if os.environ.get("EXP_FULL", "1") == "1":
+        s_build = jax.jit(
+            lambda k: _compute_octree_jit(k, bucket, capacity, MAX_UINT32,
+                                          None, init_level)
+        )
+        t0 = time.time()
+        tr = s_build(keys)
+        nn = int(np.asarray(tr.n_nodes))
+        print(f"build compile+run={time.time()-t0:.1f}s n_nodes={nn}",
+              flush=True)
+        print(f"full build: {t_ms(s_build, keys):.1f}ms", flush=True)
 
 
 if __name__ == "__main__":
