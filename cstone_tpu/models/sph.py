@@ -47,11 +47,23 @@ def sph_density_step(
     cand_leaf_cap: int = 128,
     cand_cap: int = 2048,
     chunk: int = 32,
+    cell_level: int = 0,
+    cell_cap: int = 0,
+    interpret: bool = False,
 ) -> Tuple[SphState, jax.Array, SyncResult]:
     """One density evaluation: sync + neighbor density sum.
 
     Returns (new_state, rho (local_capacity,), sync_result); rho is valid
     in [start_index, end_index).
+
+    With `cell_level`/`cell_cap` set (host-side choices: choose_cell_level
+    from max(h), cap from expected occupancy) the density runs the FUSED
+    cell-list kernel — per-particle masses ride a kernel mass plane, no
+    neighbor-index lists in HBM (find_neighbors.cuh:94-124's op-in-
+    traversal design; traversal/celllist.cell_list_sph_density). Cell
+    occupancy overflow folds into res.overflow for the usual host retry.
+    Without them, the tree-traversal index path runs (the validation
+    oracle and the fallback for strongly varying h).
     """
     dstate, res = domain.sync(
         state.domain, state.x, state.y, state.z, state.h,
@@ -59,6 +71,26 @@ def sph_density_step(
     )
     box = dstate.box
     (m_new,) = res.properties
+    import dataclasses
+
+    if cell_level and cell_cap:
+        from ..traversal.celllist import cell_list_sph_density
+
+        rho, cell_ovf = cell_list_sph_density(
+            res.keys, res.x, res.y, res.z, res.h, box, int(cell_level),
+            int(cell_cap), mass=m_new, n_valid=res.n_with_halos,
+            interpret=interpret,
+        )
+        res = dataclasses.replace(
+            res, overflow=jnp.maximum(res.overflow, cell_ovf.astype(jnp.int32))
+        )
+        co = domain.compact_owned
+        new_state = SphState(
+            domain=dstate, x=co(res, res.x), y=co(res, res.y),
+            z=co(res, res.z), h=co(res, res.h), m=co(res, m_new),
+            n_local=res.end_index - res.start_index,
+        )
+        return new_state, rho, res
 
     # density via a dedicated neighbor pass: sum_j m_j W(|rij|/h_i)
     from ..traversal.neighbors import _find_neighbors_impl

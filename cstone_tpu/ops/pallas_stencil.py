@@ -54,10 +54,12 @@ def pad_cell_grid(
     periodic: Tuple[bool, bool, bool],
     extra: jax.Array = None,  # optional per-slot scalar (e.g. r2), plain wrap
     extra_fill: float = -1.0,  # open-ghost fill: -1 for r2, +1e30 for h
+    extra2: jax.Array = None,  # second per-slot scalar plane (e.g. mass)
+    extra2_fill: float = 0.0,
 ):
     """Materialize ghost cells: wrap + length-correct periodic dims, mark
-    open-boundary ghosts invalid. Returns (xp, yp, zp[, extra]) shaped
-    (D+2, D+2, (D+2)*cap), concatenated on the lane axis."""
+    open-boundary ghosts invalid. Returns (xp, yp, zp[, extra][, extra2])
+    shaped (D+2, D+2, (D+2)*cap), concatenated on the lane axis."""
     D, _, _, cap = ex.shape
     L = jnp.asarray(lengths, jnp.float32)
 
@@ -106,6 +108,12 @@ def pad_cell_grid(
         # never a value that could validate a d2 == 0 phantom pair
         secs.append(
             pad3(extra, -1, fill=extra_fill).reshape(Dp * Dp, 1, Dp * cap)
+        )
+    if extra2 is not None:
+        # mass plane: ghost fill 0 so phantom pairs contribute nothing
+        # even before the W(inf) = 0 guard
+        secs.append(
+            pad3(extra2, -1, fill=extra2_fill).reshape(Dp * Dp, 1, Dp * cap)
         )
     return jnp.concatenate(secs, axis=-1)
 
@@ -271,6 +279,7 @@ def _kernel_sym(
     op: str = "count",
     cross: bool = False,
     cap_c: int = 0,  # candidate-set ELL capacity; 0 = same as cap
+    with_mass: bool = False,  # density only: per-particle mass plane
 ):
     """Symmetric half-stencil: each unordered pair is evaluated ONCE.
 
@@ -290,6 +299,10 @@ def _kernel_sym(
     reference emitting neighbor indices for a separate force loop
     (find_neighbors.cuh:118): no index lists ever touch HBM. same_r2
     mirrors its count meaning (uniform h skips the candidate h plane).
+    with_mass=True adds a per-particle mass: a 5th target channel m_t and
+    a final candidate mass section m_c; the target side accumulates
+    m_c * W(r/h_t) (rho_i sums m_j) and the candidate side m_t * W(r/h_c)
+    — the reference's per-particle m_j payload (find_neighbors.cuh:94-124).
 
     cross=True: targets and candidates are DISJOINT particle sets packed
     on the same grid (tgt_ref from set A, cand_hbm from set B — the
@@ -303,6 +316,7 @@ def _kernel_sym(
     Dp = jnp.int32(D + 2)
     cap_c = cap_c or cap
     line = (D + 2) * cap_c  # lane offset between x, y, z (, r2) sections
+    m_sec = 3 + (0 if same_r2 else 1)  # mass section index (with_mass)
 
     t = i * jnp.int32(D) + j
     slot = jax.lax.rem(t, 2)
@@ -354,11 +368,13 @@ def _kernel_sym(
     for zb in range(n_zb):  # static unroll; offsets stay lane-aligned
         toff_t = zb * T
         toff = zb * zb_cells * cap_c  # candidate-buffer window offset
-        tile = tgt_ref[0, pl.ds(toff_t, T), :]  # (T, 4) sublane-major
+        tile = tgt_ref[0, pl.ds(toff_t, T), :]  # (T, 4|5) sublane-major
         t_x = tile[:, 0:1]
         t_y = tile[:, 1:2]
         t_z = tile[:, 2:3]
         t_r2 = tile[:, 3:4]  # r2 (count) or h (density)
+        if with_mass:
+            t_m = tile[:, 4:5]
         if op == "density":
             t_invh = 1.0 / t_r2  # invalid slots: h=1e30 -> ~0, W -> 0
         acc = jnp.zeros((T, W), jnp.float32)
@@ -394,6 +410,13 @@ def _kernel_sym(
                     hits_c = hits_c * center_mask
                 else:
                     hits_c = hits_t
+            if op == "density" and with_mass:
+                # mass AFTER the center mask: the kernel weights are
+                # symmetric per-pair, the mass factors are not
+                c_m = cw[slot, k, 0,
+                         pl.ds(m_sec * line + toff, W)].reshape(1, W)
+                hits_t = hits_t * c_m
+                hits_c = hits_c * t_m
             acc = acc + hits_t
             out2_ref[0, di, pl.ds(toff, W)] = (
                 out2_ref[0, di, pl.ds(toff, W)]
@@ -403,21 +426,23 @@ def _kernel_sym(
 
 
 @partial(jax.jit, static_argnames=(
-    "D", "cap", "zb_cells", "same_r2", "interpret", "op", "cross"))
+    "D", "cap", "zb_cells", "same_r2", "interpret", "op", "cross",
+    "with_mass"))
 def _call_sym(cand, tgt, D, cap, zb_cells, same_r2, interpret, op="count",
-              cross=False):
+              cross=False, with_mass=False):
     Dp = D + 2
-    S = 3 if same_r2 else 4
+    S = (3 if same_r2 else 4) + (1 if with_mass else 0)
+    C = 5 if with_mass else 4  # target channels
     nd = 9 if cross else 5  # direction rows in the colsum output
     nb = 3 if cross else 2  # x-row blocks resident per window set
     return pl.pallas_call(
         partial(_kernel_sym, D=D, cap=cap, zb_cells=zb_cells,
-                same_r2=same_r2, op=op, cross=cross),
+                same_r2=same_r2, op=op, cross=cross, with_mass=with_mass),
         grid=(D, D),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
-                (1, D * cap, 4), lambda i, j: (i * D + j, 0, 0),
+                (1, D * cap, C), lambda i, j: (i * D + j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -662,6 +687,7 @@ def stencil_density_pallas_sym(
     zb_cells: int = 0,
     same_h: bool = False,
     interpret: bool = False,
+    pm: jax.Array = None,  # (n_cells, cap) per-particle masses (optional)
 ) -> jax.Array:
     """(n_cells, cap) unnormalized SPH spline sums S_i = sum_j W(r_ij/h_i)
     over j != i, fused into the symmetric half-stencil (op="density") —
@@ -669,7 +695,9 @@ def stencil_density_pallas_sym(
     kernel applies its per-pair op (find_neighbors.cuh:94-124), instead of
     emitting neighbor-index lists to HBM. Caller adds the self term W(0)
     and the (m / pi h^3) normalization. same_h=True skips the candidate-h
-    plane when all valid h are equal.
+    plane when all valid h are equal. With `pm`, each term is weighted by
+    the NEIGHBOR's mass: S_i = sum_j m_j W(r_ij/h_i) (the reference's
+    per-particle m_j payload); the caller's self term becomes m_i.
     """
     D = 1 << int(level)
     cap = px.shape[1]
@@ -685,16 +713,20 @@ def stencil_density_pallas_sym(
     assert (zb_cells * cap) % 128 == 0 and D % zb_cells == 0
     _check_colsum_size(D, cap, len(_SYM_DIRS))
     shp = (D, D, D, cap)
+    with_mass = pm is not None
     cand = pad_cell_grid(
         px.reshape(shp), py.reshape(shp), pz.reshape(shp),
         valid.reshape(shp), lengths, periodic,
         extra=None if same_h else ph.reshape(shp),
         extra_fill=float(INVALID_COORD),
+        extra2=pm.reshape(shp) if with_mass else None,
+        extra2_fill=0.0,
     )
-    tgt = jnp.stack(
-        [px.astype(jnp.float32), py.astype(jnp.float32),
-         pz.astype(jnp.float32), ph.astype(jnp.float32)], axis=-1
-    ).reshape(D * D, D * cap, 4)
+    cols = [px.astype(jnp.float32), py.astype(jnp.float32),
+            pz.astype(jnp.float32), ph.astype(jnp.float32)]
+    if with_mass:
+        cols.append(pm.astype(jnp.float32))
+    tgt = jnp.stack(cols, axis=-1).reshape(D * D, D * cap, len(cols))
 
     prev_x64 = jax.config.jax_enable_x64
     try:
@@ -703,6 +735,7 @@ def stencil_density_pallas_sym(
         w_t, colsums = _call_sym(
             cand, tgt, D=D, cap=cap, zb_cells=int(zb_cells),
             same_r2=bool(same_h), interpret=interpret, op="density",
+            with_mass=with_mass,
         )
     finally:
         if prev_x64:

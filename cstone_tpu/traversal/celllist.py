@@ -504,7 +504,7 @@ def cell_list_sph_density(
     box: Box,
     level: int,
     cap: int,
-    mass=1.0,  # uniform particle mass (scalar)
+    mass=1.0,  # uniform scalar mass OR (n,) per-particle masses
     curve: str = HILBERT,
     n_valid=None,
     const_h: bool = False,
@@ -512,34 +512,50 @@ def cell_list_sph_density(
 ) -> Tuple[jax.Array, jax.Array]:
     """(n,) SPH densities in sorted particle order + overflow flag.
 
-    rho_i = (m / pi h_i^3) * (sum_{j != i} W(|r_ij| / h_i) + W(0)) with the
-    cubic-spline W — identical formula to models/sph.py's tree-path
-    density, but the interaction is fused into the symmetric half-stencil
-    Pallas kernel: one resident pass, no neighbor-index lists in HBM (the
-    reference runs its per-pair op inside the warp traversal the same way,
-    find_neighbors.cuh:94-124; the separate findNeighbors+force-loop shape
-    is a CPU-ism this framework only keeps on the tree path for API
-    parity). Exact provided the grid cell side at `level` is >= 2*max(hs).
-    const_h=True promises all hs equal (skips the candidate-h plane).
+    rho_i = (1 / pi h_i^3) * (sum_{j != i} m_j W(|r_ij| / h_i) + m_i W(0))
+    with the cubic-spline W — identical formula to models/sph.py's
+    tree-path density, but the interaction is fused into the symmetric
+    half-stencil Pallas kernel: one resident pass, no neighbor-index lists
+    in HBM (the reference runs its per-pair op inside the warp traversal
+    the same way, find_neighbors.cuh:94-124; the separate
+    findNeighbors+force-loop shape is a CPU-ism this framework only keeps
+    on the tree path for API parity). `mass` may be a scalar (uniform m
+    factored out of the sum) or an (n,) array in the same sorted order
+    (packed as a kernel mass plane). Exact provided the grid cell side at
+    `level` is >= 2*max(hs). const_h=True promises all hs equal (skips
+    the candidate-h plane).
     """
     n = keys_sorted.shape[0]
     perm, inv = rowmajor_cell_perm(int(level), curve)
 
-    (px, py, pz, ph), valid, pidx, overflow = ell_pack_gather(
-        keys_sorted, perm, (xs, ys, zs, hs), cap, int(level), n_valid=n_valid
+    per_particle_m = hasattr(mass, "ndim") and getattr(mass, "ndim", 0) == 1
+    fields = (xs, ys, zs, hs) + (
+        (jnp.asarray(mass, jnp.float32),) if per_particle_m else ()
     )
+    packed, valid, pidx, overflow = ell_pack_gather(
+        keys_sorted, perm, fields, cap, int(level), n_valid=n_valid
+    )
+    px, py, pz, ph = packed[:4]
+    pm = packed[4] if per_particle_m else None
+    if pm is not None:
+        pm = jnp.where(valid, pm, 0.0)
     from ..ops.pallas_stencil import stencil_density_pallas_sym
 
     periodic = tuple(int(b) == 1 for b in box.boundaries)
     wsum = stencil_density_pallas_sym(
         px, py, pz, ph, valid, box.lengths, periodic, int(level),
-        same_h=const_h, interpret=interpret,
+        same_h=const_h, interpret=interpret, pm=pm,
     )
-    # self term W(0) = 1 (unnormalized cubic spline) + normalization
+    # self term m_i * W(0) = m_i (unnormalized cubic spline) + normalization
     inv_h = jnp.where(valid, 1.0 / ph, 0.0)
-    rho_ell = (jnp.float32(mass) / np.float32(np.pi)) * (
-        (wsum + 1.0) * inv_h * inv_h * inv_h
-    )
+    if per_particle_m:
+        rho_ell = (np.float32(1.0 / np.pi)) * (
+            (wsum + pm) * inv_h * inv_h * inv_h
+        )
+    else:
+        rho_ell = (jnp.float32(mass) / np.float32(np.pi)) * (
+            (wsum + 1.0) * inv_h * inv_h * inv_h
+        )
     pidx_s, rho_s = jax.lax.sort(
         (pidx.reshape(-1), rho_ell.reshape(-1)), num_keys=1, is_stable=False
     )

@@ -305,3 +305,83 @@ def test_halos_class_matches_domain_inline_path():
     assert int(ok) == 1, "flags/layout must match the Domain inline path"
     assert int(n_halo) > 0
     assert float(max_err) < 1e-5
+
+
+def test_sph_density_fused_client_matches_oracle_and_loop():
+    """models/sph.py FUSED path (cell_level/cell_cap set): per-particle
+    masses ride the kernel's mass plane inside the traversal
+    (find_neighbors.cuh:94-124's op-in-traversal design) — validated
+    against the f64 oracle, then driven as a 4-step simulation loop with
+    drifting positions and carried DomainState (README.md:60-100 usage)."""
+    from cstone_tpu.models.sph import SphState, sph_density_step
+    from cstone_tpu.traversal.celllist import choose_cell_level
+
+    n = 900
+    rng = np.random.RandomState(9)
+    pos = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    h = rng.uniform(0.06, 0.1, size=n).astype(np.float32)
+    m = rng.uniform(0.5, 1.5, size=n).astype(np.float32)
+    box = make_box(-1.0, 1.0, boundaries=PERIODIC)
+    level = choose_cell_level(box, float(h.max()))
+
+    domain = Domain(
+        rank=0, n_ranks=1, bucket_size=16, key_dtype=jnp.uint64,
+        tree_capacity=1024,
+    )
+    dstate = domain.init_state(box=box, boundaries=box.boundaries)
+    state = SphState(
+        domain=dstate, x=jnp.asarray(pos[:, 0]), y=jnp.asarray(pos[:, 1]),
+        z=jnp.asarray(pos[:, 2]), h=jnp.asarray(h), m=jnp.asarray(m),
+        n_local=jnp.int32(n),
+    )
+
+    def oracle(p):
+        X = p.astype(np.float64)
+        L = np.array([2.0, 2.0, 2.0])
+        d = X[:, None, :] - X[None, :, :]
+        d -= L * np.rint(d / L)
+        r = np.sqrt((d**2).sum(-1))
+        q = r / h.astype(np.float64)[:, None]
+        w1 = 1.0 - 1.5 * q * q * (1.0 - 0.5 * q)
+        w2 = 0.25 * (2.0 - q) ** 3
+        w = np.where(q < 1.0, w1, np.where(q < 2.0, w2, 0.0))
+        return (w * m.astype(np.float64)[None, :]).sum(-1) / (
+            np.pi * h.astype(np.float64) ** 3
+        )
+
+    # drift by a POSITION-DEPENDENT velocity field: each row's step can
+    # be recomputed from its own coordinates, so no identity tracking is
+    # needed across the sync reorder (values pass through bit-exactly)
+    def vfield(p):
+        return np.stack([
+            0.012 * np.sin(np.pi * p[:, 1]),
+            0.012 * np.sin(np.pi * p[:, 2]),
+            0.012 * np.sin(np.pi * p[:, 0]),
+        ], -1).astype(np.float32)
+
+    p_t = pos.copy()
+    for step in range(4):
+        state, rho, res = sph_density_step(
+            domain, state, cell_level=level, cell_cap=128, interpret=True,
+        )
+        assert int(res.overflow) == 0, f"overflow at step {step}"
+        rho_ref = oracle(p_t)
+        s, e = int(res.start_index), int(res.end_index)
+        assert e - s == n
+        order = np.lexsort((np.asarray(res.z[s:e]), np.asarray(res.y[s:e]),
+                            np.asarray(res.x[s:e])))
+        order_ref = np.lexsort((p_t[:, 2], p_t[:, 1], p_t[:, 0]))
+        np.testing.assert_allclose(
+            np.asarray(rho[s:e])[order], rho_ref[order_ref], rtol=2e-4,
+        )
+        import dataclasses
+        cur = np.stack([np.asarray(state.x[:n]), np.asarray(state.y[:n]),
+                        np.asarray(state.z[:n])], -1).astype(np.float32)
+        nxt = cur + vfield(cur)
+        nxt = (-1 + (nxt + 1) % 2).astype(np.float32)
+        p_t = p_t + vfield(p_t)
+        p_t = (-1 + (p_t + 1) % 2).astype(np.float32)
+        state = dataclasses.replace(
+            state, x=jnp.asarray(nxt[:, 0]), y=jnp.asarray(nxt[:, 1]),
+            z=jnp.asarray(nxt[:, 2]),
+        )
