@@ -78,12 +78,13 @@ def time_protocol(n_per, exchange_mode, protocol, reps=5):
         domain = make_domain(rank)
         dstate, res = domain.sync(dstate, x, y, z, hh, n_local=n_local[0])
         ovf = jax.lax.pmax(res.overflow, rank_axis)
+        det = res.overflow_detail  # already pmax'd across ranks
         co = domain.compact_owned
         chk = jax.lax.psum(jnp.sum(res.x), rank_axis)
         return (
             jax.tree.map(lambda a: a[None], dstate),
             co(res, res.x), co(res, res.y), co(res, res.z), co(res, res.h),
-            (res.end_index - res.start_index).reshape(1), ovf, chk,
+            (res.end_index - res.start_index).reshape(1), ovf, chk, det,
         )
 
     dstate0 = make_domain(0).init_state(box=box, boundaries=box.boundaries)
@@ -96,7 +97,7 @@ def time_protocol(n_per, exchange_mode, protocol, reps=5):
     fn = jax.jit(shard_map(
         step, mesh=mesh,
         in_specs=(state_specs,) + (P(rank_axis),) * 5,
-        out_specs=(state_specs,) + (P(rank_axis),) * 5 + (P(), P()),
+        out_specs=(state_specs,) + (P(rank_axis),) * 5 + (P(), P(), P()),
         check_vma=False,
     ))
     arrays = [pad_local(pos[:, 0]), pad_local(pos[:, 1]),
@@ -106,13 +107,16 @@ def time_protocol(n_per, exchange_mode, protocol, reps=5):
     packed = packed0
     # 2 warmup syncs (compile + reach steady state)
     for _ in range(2):
-        packed, x, y, z, hh, n_local, ovf, chk = fn(packed, *arrays, n_local)
+        packed, x, y, z, hh, n_local, ovf, chk, det = fn(packed, *arrays, n_local)
         arrays = [x, y, z, hh]
-        assert int(np.asarray(ovf)) == 0, f"{exchange_mode}/{protocol} overflow"
+        assert int(np.asarray(ovf)) == 0, (
+            f"{exchange_mode}/{protocol} overflow detail="
+            f"{np.asarray(det).tolist()} (local,tree,focus,move,treelet,"
+            f"halo,window)")
     ts = []
     for _ in range(reps):
         t0 = time.time()
-        packed, x, y, z, hh, n_local, ovf, chk = fn(packed, *arrays, n_local)
+        packed, x, y, z, hh, n_local, ovf, chk, det = fn(packed, *arrays, n_local)
         arrays = [x, y, z, hh]
         float(np.asarray(chk))
         ts.append(time.time() - t0)
