@@ -25,7 +25,7 @@ run-streaming kernel uses (targets (G,3) VMEM blocks vs streamed tiles).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Tuple
 
 import jax
@@ -45,6 +45,21 @@ __all__ = [
 INVALID_COORD = np.float32(1e30)
 
 
+@lru_cache(maxsize=16)
+def _pad_row_maps(D: int):
+    """Static (numpy) maps for the ghost-row gather: padded row (ip, jp)
+    -> core row ((ip-1)%D, (jp-1)%D), plus the per-row x/y overflow signs
+    (-1/0/+1) that drive wrap corrections and open-boundary fills."""
+    idx = np.arange(D + 2) - 1
+    over = np.where(idx < 0, -1, np.where(idx >= D, 1, 0)).astype(np.float32)
+    src = (idx + D) % D
+    ip, jp = np.meshgrid(src, src, indexing="ij")
+    row_src = (ip * D + jp).reshape(-1).astype(np.int32)  # (Dp*Dp,)
+    over_x = np.repeat(over, D + 2)[:, None]  # (Dp*Dp, 1)
+    over_y = np.tile(over, D + 2)[:, None]
+    return row_src, over_x, over_y
+
+
 def pad_cell_grid(
     ex: jax.Array,  # (D, D, D, cap) ELL coords, row-major cell order
     ey: jax.Array,
@@ -59,63 +74,76 @@ def pad_cell_grid(
 ):
     """Materialize ghost cells: wrap + length-correct periodic dims, mark
     open-boundary ghosts invalid. Returns (xp, yp, zp[, extra][, extra2])
-    shaped (D+2, D+2, (D+2)*cap), concatenated on the lane axis."""
+    shaped (Dp*Dp, 1, S*Dp*cap), sections concatenated on the lane axis.
+
+    Formulated as ONE static row-gather per plane (padded row <- wrapped
+    core row) + a lane concat for the z ghosts + fused elementwise
+    corrections/fills — the earlier axis-by-axis concat chain cost 14.8ms
+    at 1M/level-5 (vs ~2ms for the whole kernel input prep this way,
+    scripts/exp_sym.py): every concat stage forced its own relayout pass.
+
+    Ghost semantics (unchanged): the coordinate shift applies only to the
+    coordinate matching the wrapped axis; open-boundary ghost COORDS fill
+    with -1e30 (not +1e30) because invalid in-cell slots carry +1e30 and a
+    ghost-vs-invalid pair must have d2 = inf, never 0 — at d2 == 0 the
+    density op's W(0) = 1 would leak through the fold onto real slots of
+    the mirror cell. Extra planes wrap unshifted; their open-ghost fill
+    must make the op inert (r2 -> -1, h -> +1e30, mass -> 0).
+    """
     D, _, _, cap = ex.shape
+    Dp = D + 2
     L = jnp.asarray(lengths, jnp.float32)
+    row_src_np, over_x_np, over_y_np = _pad_row_maps(D)
+    row_src = jnp.asarray(row_src_np)
+    over_x = jnp.asarray(over_x_np)
+    over_y = jnp.asarray(over_y_np)
+    ghost_x = over_x != 0.0
+    ghost_y = over_y != 0.0
 
     ex = jnp.where(valid, ex, INVALID_COORD)
     ey = jnp.where(valid, ey, INVALID_COORD)
     ez = jnp.where(valid, ez, INVALID_COORD)
 
-    def pad_axis(a, axis, Ld, per, is_coord_axis, fill):
-        lo = jax.lax.slice_in_dim(a, D - 1, D, axis=axis)
-        hi = jax.lax.slice_in_dim(a, 0, 1, axis=axis)
-        if per:
-            if is_coord_axis:
-                lo = lo - Ld
-                hi = hi + Ld
+    def build(plane, coord_axis, fill):
+        g = plane.reshape(D * D, D * cap)[row_src]  # (Dp*Dp, D*cap)
+        # z ghosts ride the lane axis: [z=D-1 run | core | z=0 run]
+        zlo = g[:, (D - 1) * cap:]
+        zhi = g[:, :cap]
+        if periodic[2]:
+            if coord_axis == 2:
+                zlo = zlo - L[2]
+                zhi = zhi + L[2]
         else:
-            lo = jnp.full_like(lo, fill)
-            hi = jnp.full_like(hi, fill)
-        return jnp.concatenate([lo, a, hi], axis=axis)
+            zlo = jnp.full_like(zlo, fill)
+            zhi = jnp.full_like(zhi, fill)
+        g = jnp.concatenate([zlo, g, zhi], axis=1)  # (Dp*Dp, Dp*cap)
+        # x/y wrap corrections first, open fills last (the fills must win
+        # in corner ghosts; the f32 add would absorb into +-1e30 anyway)
+        if periodic[0] and coord_axis == 0:
+            g = g + over_x * L[0]
+        if periodic[1] and coord_axis == 1:
+            g = g + over_y * L[1]
+        if not periodic[0]:
+            g = jnp.where(ghost_x, fill, g)
+        if not periodic[1]:
+            g = jnp.where(ghost_y, fill, g)
+        return g
 
-    def pad3(a, coord_axis, fill=-INVALID_COORD):
-        # the ghost coordinate shift applies only to the coordinate
-        # matching the wrapped axis. Open-boundary ghost COORDS fill with
-        # -1e30 (not +1e30): invalid in-cell slots carry +1e30, and a
-        # ghost-vs-invalid pair must have d2 = inf, never 0 — at d2 == 0
-        # the density op's W(0) = 1 would leak through the fold onto real
-        # slots of the mirror cell
-        a = pad_axis(a, 0, L[0], periodic[0], coord_axis == 0, fill)
-        a = pad_axis(a, 1, L[1], periodic[1], coord_axis == 1, fill)
-        a = pad_axis(a, 2, L[2], periodic[2], coord_axis == 2, fill)
-        return a
-
-    # (Dp*Dp, 1, 3*Dp*cap): the flattened (x, y) index rides dim 0, which
-    # is outside the (sublane, lane) tiling of the last two dims — so the
-    # kernel's per-row DMA slices need no 8/128 alignment. The three
-    # coordinates sit side by side on the lane axis (each Dp*cap wide, a
-    # multiple of 128), letting one DMA fetch a whole cell row.
-    Dp = D + 2
-    xp = pad3(ex, 0).reshape(Dp * Dp, 1, Dp * cap)
-    yp = pad3(ey, 1).reshape(Dp * Dp, 1, Dp * cap)
-    zp = pad3(ez, 2).reshape(Dp * Dp, 1, Dp * cap)
-    secs = [xp, yp, zp]
+    secs = [
+        build(ex, 0, -INVALID_COORD),
+        build(ey, 1, -INVALID_COORD),
+        build(ez, 2, -INVALID_COORD),
+    ]
     if extra is not None:
-        # no coordinate correction: periodic ghosts carry the wrapped
-        # cell's value. Open-boundary ghost fill must make the op inert:
-        # r2 pads -1 (compare false), h pads +1e30 (1/h ~ 0, W(inf) = 0) —
-        # never a value that could validate a d2 == 0 phantom pair
-        secs.append(
-            pad3(extra, -1, fill=extra_fill).reshape(Dp * Dp, 1, Dp * cap)
-        )
+        secs.append(build(extra, -1, extra_fill))
     if extra2 is not None:
-        # mass plane: ghost fill 0 so phantom pairs contribute nothing
-        # even before the W(inf) = 0 guard
-        secs.append(
-            pad3(extra2, -1, fill=extra2_fill).reshape(Dp * Dp, 1, Dp * cap)
-        )
-    return jnp.concatenate(secs, axis=-1)
+        secs.append(build(extra2, -1, extra2_fill))
+    # (Dp*Dp, 1, S*Dp*cap): the flattened (x, y) index rides dim 0, which
+    # is outside the (sublane, lane) tiling of the last two dims — so the
+    # kernel's per-row DMA slices need no 8/128 alignment. Sections sit
+    # side by side on the lane axis (each Dp*cap wide, a multiple of 128),
+    # letting one DMA fetch a whole cell row.
+    return jnp.concatenate(secs, axis=-1).reshape(Dp * Dp, 1, -1)
 
 
 def _kernel(
@@ -268,10 +296,10 @@ def _kernel_sym(
     cand_hbm,  # (Dp*Dp, 1, S*Dp*cap) HBM candidate grid (x|y|z[|r2/h])
     tgt_ref,  # (1, D*cap, 4) VMEM block: x,y,z,(r2|h) per target
     out_ref,  # (1, D*cap, 1) VMEM block: target-side sums
-    out2_ref,  # (1, 5, Dp*cap) VMEM block: candidate-side column sums
-    cw,  # VMEM scratch (2, 6, 1, S*Dp*cap) double-buffered windows
-    sems,  # DMA semaphores (2, 2)
-    *,
+    *rest,  # len(dirs) colsum plane refs (1, 1, Dp*cap_c) + cw + sems
+    # each colsum plane d is PRE-ROLLED: its BlockSpec index_map points at
+    # the mirror column (i+dx, j+dy), so the XLA fold needs no jnp.roll
+    # relayouts — just elementwise adds + the z-ghost lane shifts
     D: int,
     cap: int,
     zb_cells: int,
@@ -285,8 +313,9 @@ def _kernel_sym(
 
     op="count": the target side tests d2 < r2_t and accumulates per-target
     row sums (out_ref); the candidate side tests d2 < r2_c (same compare
-    when same_r2) and accumulates per-candidate lane sums into out2_ref,
-    which the XLA wrapper rolls back onto the mirror columns. This halves
+    when same_r2) and accumulates per-candidate lane sums into per-dir
+    colsum planes whose output index maps already point at the mirror
+    column (_rolled_colsum_spec). This halves
     the distance evaluations of the 27-point stencil (5 windows instead
     of 9) at the cost of one extra lane-sum pass — the reference kernel's
     symmetry rationale (find_neighbors.cuh:346-357 NcStats) realized in
@@ -311,6 +340,9 @@ def _kernel_sym(
     the candidate-side sums credit set B — one pass serves both tiers'
     counts, at both tiers' own radii.
     """
+    dirs = _CROSS_DIRS if cross else _SYM_DIRS
+    out2_refs = rest[: len(dirs)]
+    cw, sems = rest[len(dirs):]
     i = pl.program_id(0)
     j = pl.program_id(1)
     Dp = jnp.int32(D + 2)
@@ -362,8 +394,8 @@ def _kernel_sym(
     sub = jax.lax.broadcasted_iota(jnp.int32, (T, W), 0)
     center_mask = (lane > sub + cap).astype(jnp.float32)
 
-    dirs = _CROSS_DIRS if cross else _SYM_DIRS
-    out2_ref[...] = jnp.zeros((1, len(dirs), (D + 2) * cap_c), jnp.float32)
+    for r in out2_refs:
+        r[...] = jnp.zeros((1, 1, (D + 2) * cap_c), jnp.float32)
 
     for zb in range(n_zb):  # static unroll; offsets stay lane-aligned
         toff_t = zb * T
@@ -418,8 +450,8 @@ def _kernel_sym(
                 hits_t = hits_t * c_m
                 hits_c = hits_c * t_m
             acc = acc + hits_t
-            out2_ref[0, di, pl.ds(toff, W)] = (
-                out2_ref[0, di, pl.ds(toff, W)]
+            out2_refs[di][0, 0, pl.ds(toff, W)] = (
+                out2_refs[di][0, 0, pl.ds(toff, W)]
                 + jnp.sum(hits_c, axis=0)
             )
         out_ref[0, pl.ds(toff_t, T), :] = jnp.sum(acc, axis=1, keepdims=True)
@@ -433,7 +465,7 @@ def _call_sym(cand, tgt, D, cap, zb_cells, same_r2, interpret, op="count",
     Dp = D + 2
     S = (3 if same_r2 else 4) + (1 if with_mass else 0)
     C = 5 if with_mass else 4  # target channels
-    nd = 9 if cross else 5  # direction rows in the colsum output
+    dirs = _CROSS_DIRS if cross else _SYM_DIRS
     nb = 3 if cross else 2  # x-row blocks resident per window set
     return pl.pallas_call(
         partial(_kernel_sym, D=D, cap=cap, zb_cells=zb_cells,
@@ -451,14 +483,14 @@ def _call_sym(cand, tgt, D, cap, zb_cells, same_r2, interpret, op="count",
                 (1, D * cap, 1), lambda i, j: (i * D + j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, nd, Dp * cap), lambda i, j: (i * D + j, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+        ] + [
+            _rolled_colsum_spec(D, Dp * cap, dx, dy) for dx, dy in dirs
         ],
         out_shape=[
             jax.ShapeDtypeStruct((D * D, D * cap, 1), jnp.float32),
-            jax.ShapeDtypeStruct((D * D, nd, Dp * cap), jnp.float32),
+        ] + [
+            jax.ShapeDtypeStruct((D * D, 1, Dp * cap), jnp.float32)
+            for _ in dirs
         ],
         scratch_shapes=[
             pltpu.VMEM((2, 3 * nb, 1, S * Dp * cap), jnp.float32),
@@ -467,6 +499,18 @@ def _call_sym(cand, tgt, D, cap, zb_cells, same_r2, interpret, op="count",
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(cand, tgt)
+
+
+def _rolled_colsum_spec(D: int, width: int, dx: int, dy: int) -> pl.BlockSpec:
+    """BlockSpec placing grid step (i, j)'s direction-(dx, dy) column sums
+    at the MIRROR column's block (i+dx mod D, j+dy mod D) — the roll of
+    the fold performed by the output index map instead of a jnp.roll
+    relayout pass. Each block is written by exactly one step (the map is a
+    bijection per direction)."""
+    def idx(i, j):
+        return (((i + dx + D) % D) * D + ((j + dy + D) % D), 0, 0)
+
+    return pl.BlockSpec((1, 1, width), idx, memory_space=pltpu.VMEM)
 
 
 def stencil_counts_pallas_sym(
@@ -528,7 +572,7 @@ def stencil_counts_pallas_sym(
     try:
         if prev_x64:
             jax.config.update("jax_enable_x64", False)
-        counts_t, colsums = _call_sym(
+        counts_t, *colplanes = _call_sym(
             cand, tgt, D=D, cap=cap, zb_cells=int(zb_cells),
             same_r2=bool(same_r2), interpret=interpret,
         )
@@ -536,7 +580,7 @@ def stencil_counts_pallas_sym(
         if prev_x64:
             jax.config.update("jax_enable_x64", True)
 
-    total = _fold_sym(counts_t, colsums, D, cap)
+    total = _fold_sym(counts_t, colplanes, D, cap)
     return total.reshape(-1, cap).astype(jnp.int32)
 
 
@@ -561,14 +605,15 @@ def _call_sym_cross(cand, tgt, D, cap_t, cap_c, zb_cells, interpret,
                 (1, D * cap_t, 1), lambda i, j: (i * D + j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, 9, Dp * cap_c), lambda i, j: (i * D + j, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+        ] + [
+            _rolled_colsum_spec(D, Dp * cap_c, dx, dy)
+            for dx, dy in _CROSS_DIRS
         ],
         out_shape=[
             jax.ShapeDtypeStruct((D * D, D * cap_t, 1), jnp.float32),
-            jax.ShapeDtypeStruct((D * D, 9, Dp * cap_c), jnp.float32),
+        ] + [
+            jax.ShapeDtypeStruct((D * D, 1, Dp * cap_c), jnp.float32)
+            for _ in _CROSS_DIRS
         ],
         scratch_shapes=[
             pltpu.VMEM((2, 9, 1, 4 * Dp * cap_c), jnp.float32),
@@ -579,32 +624,27 @@ def _call_sym_cross(cand, tgt, D, cap_t, cap_c, zb_cells, interpret,
     )(cand, tgt)
 
 
-def _fold_sym(out_t, colsums, D: int, cap: int, dirs=_SYM_DIRS) -> jax.Array:
-    """Combine target-side sums with the candidate-side column sums.
+def _fold_sym(out_t, planes, D: int, cap: int) -> jax.Array:
+    """Combine target-side sums with the candidate-side column-sum planes.
 
-    Ghost z lanes wrap onto the real ends (zeros for open boundaries,
-    where ghost slots can never hit), then each direction's row rolls to
-    the mirror column (i+dx, j+dy) — roll wrap is likewise a no-op for
-    open boundaries because ghost-column hits are zero. Returns
-    (D*D, D*cap) f32 totals.
+    The (i+dx, j+dy) mirror-column roll already happened in the kernel's
+    output index maps (_rolled_colsum_spec) — x/y wrap rides the rem in
+    the index map, and is correct for open boundaries too because
+    ghost-column hits are zero there. What remains here: ghost z lanes
+    wrap onto the real ends (zeros for open boundaries), then everything
+    sums in one fused elementwise pass. Returns (D*D, D*cap) f32 totals.
     """
     Dc = D * cap
     total = out_t.reshape(D * D, Dc)
     zpad = jnp.zeros((D * D, Dc - cap), jnp.float32)
-    for di, (dxr, dyr) in enumerate(dirs):
-        col = colsums[:, di, :]  # (D*D, (D+2)*cap)
+    for col in planes:
+        col = col.reshape(D * D, -1)  # (D*D, (D+2)*cap), pre-rolled
         mid = col[:, cap:cap + Dc]
         front = col[:, :cap]  # ghost z = -1 -> real z = D-1
         back = col[:, cap + Dc:]  # ghost z = D -> real z = 0
         mid = mid + jnp.concatenate([back, zpad], axis=1)
         mid = mid + jnp.concatenate([zpad, front], axis=1)
-        if dxr == 0 and dyr == 0:
-            contrib = mid
-        else:
-            contrib = jnp.roll(
-                mid.reshape(D, D, Dc), (dxr, dyr), axis=(0, 1)
-            ).reshape(D * D, Dc)
-        total = total + contrib
+        total = total + mid
     return total
 
 
@@ -658,7 +698,7 @@ def stencil_counts_pallas_cross(
     try:
         if prev_x64:
             jax.config.update("jax_enable_x64", False)
-        out_t, colsums = _call_sym_cross(
+        out_t, *colplanes = _call_sym_cross(
             cand, tgt, D=D, cap_t=cap_t, cap_c=cap_c,
             zb_cells=int(zb_cells), interpret=interpret, op=op,
         )
@@ -668,7 +708,7 @@ def stencil_counts_pallas_cross(
 
     res_a = out_t.reshape(-1, cap_t)
     zero_b = jnp.zeros((D * D, D * cap_c), jnp.float32)
-    res_b = _fold_sym(zero_b, colsums, D, cap_c, dirs=_CROSS_DIRS)
+    res_b = _fold_sym(zero_b, colplanes, D, cap_c)
     if op == "count":
         res_a = res_a.astype(jnp.int32)
         res_b = res_b.astype(jnp.int32)
@@ -732,7 +772,7 @@ def stencil_density_pallas_sym(
     try:
         if prev_x64:
             jax.config.update("jax_enable_x64", False)
-        w_t, colsums = _call_sym(
+        w_t, *colplanes = _call_sym(
             cand, tgt, D=D, cap=cap, zb_cells=int(zb_cells),
             same_r2=bool(same_h), interpret=interpret, op="density",
             with_mass=with_mass,
@@ -741,7 +781,7 @@ def stencil_density_pallas_sym(
         if prev_x64:
             jax.config.update("jax_enable_x64", True)
 
-    return _fold_sym(w_t, colsums, D, cap).reshape(-1, cap)
+    return _fold_sym(w_t, colplanes, D, cap).reshape(-1, cap)
 
 
 def stencil_counts_pallas(

@@ -463,6 +463,9 @@ def cell_list_neighbor_counts(
     n = keys_sorted.shape[0]
     perm, inv = rowmajor_cell_perm(int(level), curve)
 
+    # NOTE: even at const_h the h plane stays in the pack — F=4 keeps the
+    # blocked gather's rows lane-aligned (blk*F = 64 floats); an F=3 pack
+    # measured SLOWER (5.1 vs 4.6ms at 1M, scripts/exp_sym.py)
     (px, py, pz, ph), valid, pidx, overflow = ell_pack_gather(
         keys_sorted, perm, (xs, ys, zs, hs), cap, int(level), n_valid=n_valid
     )
@@ -529,14 +532,26 @@ def cell_list_sph_density(
     perm, inv = rowmajor_cell_perm(int(level), curve)
 
     per_particle_m = hasattr(mass, "ndim") and getattr(mass, "ndim", 0) == 1
-    fields = (xs, ys, zs, hs) + (
-        (jnp.asarray(mass, jnp.float32),) if per_particle_m else ()
+    # with const_h AND per-particle masses, drop the h plane from the pack
+    # (F=5 -> F=4 keeps the blocked gather's rows lane-aligned at blk*F=64
+    # floats); otherwise keep F=4 — an F=3 pack measured slower
+    # (scripts/exp_sym.py)
+    drop_h = const_h and per_particle_m
+    fields = (
+        ((xs, ys, zs) if drop_h else (xs, ys, zs, hs))
+        + ((jnp.asarray(mass, jnp.float32),) if per_particle_m else ())
     )
     packed, valid, pidx, overflow = ell_pack_gather(
         keys_sorted, perm, fields, cap, int(level), n_valid=n_valid
     )
-    px, py, pz, ph = packed[:4]
-    pm = packed[4] if per_particle_m else None
+    px, py, pz = packed[:3]
+    if drop_h:
+        # uniform h: one scalar broadcast over the mask, no packed plane
+        ph = jnp.where(valid, hs[0].astype(jnp.float32), INVALID_COORD)
+        pm = packed[3]
+    else:
+        ph = packed[3]
+        pm = packed[4] if per_particle_m else None
     if pm is not None:
         pm = jnp.where(valid, pm, 0.0)
     from ..ops.pallas_stencil import stencil_density_pallas_sym
