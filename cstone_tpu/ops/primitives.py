@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "searchsorted",
@@ -25,7 +26,7 @@ __all__ = [
 _SORT_METHOD_THRESHOLD = 1 << 16
 
 
-def multi_searchsorted(a: jax.Array, queries, side: str = "left"):
+def multi_searchsorted(a: jax.Array, queries, side: str = "left", sides=None):
     """Positions of several query sets in sorted `a` in ONE merged sort.
 
     Double-sort formulation (lowerBoundGpu's role, primitives_gpu.h:61-75,
@@ -38,24 +39,36 @@ def multi_searchsorted(a: jax.Array, queries, side: str = "left"):
 
     a: (n,) sorted; queries: sequence of 1-D arrays of a's dtype (need not
     be sorted). Returns list of int32 position arrays, one per query set.
+    `sides` (optional) gives a per-set side ("left"/"right") overriding
+    `side`: left sets concat before `a`, right sets after — so one merged
+    sort can answer lower AND upper bounds (e.g. the membership test
+    right - left >= 1 for unique-key arrays).
     """
     n = a.shape[0]
     sizes = [int(q.shape[0]) for q in queries]
     tq = sum(sizes)
     qs = [jnp.asarray(q, a.dtype) for q in queries]
-    if side == "left":
-        # ties: queries BEFORE equal a-elements
-        keys_all = jnp.concatenate(qs + [a])
-        qid = jnp.concatenate(
-            [jnp.arange(tq, dtype=jnp.int32), jnp.full((n,), -1, jnp.int32)]
-        )
-    elif side == "right":
-        keys_all = jnp.concatenate([a] + qs)
-        qid = jnp.concatenate(
-            [jnp.full((n,), -1, jnp.int32), jnp.arange(tq, dtype=jnp.int32)]
-        )
-    else:
-        raise ValueError(f"side must be left|right, got {side!r}")
+    if sides is None:
+        sides = [side] * len(qs)
+    if not all(s in ("left", "right") for s in sides):
+        raise ValueError(f"sides must be left|right, got {sides!r}")
+    # global query ids follow the caller's set order; placement in the
+    # concat follows the per-set side (stability realizes the tie-break)
+    offs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int32)
+    left_k = [q for q, s in zip(qs, sides) if s == "left"]
+    left_i = [
+        jnp.arange(offs[k], offs[k + 1], dtype=jnp.int32)
+        for k, s in enumerate(sides) if s == "left"
+    ]
+    right_k = [q for q, s in zip(qs, sides) if s == "right"]
+    right_i = [
+        jnp.arange(offs[k], offs[k + 1], dtype=jnp.int32)
+        for k, s in enumerate(sides) if s == "right"
+    ]
+    keys_all = jnp.concatenate(left_k + [a] + right_k)
+    qid = jnp.concatenate(
+        left_i + [jnp.full((n,), -1, jnp.int32)] + right_i
+    )
     _, qid_s = jax.lax.sort((keys_all, qid), num_keys=1, is_stable=True)
     is_q = qid_s >= 0
     pos = jnp.arange(n + tq, dtype=jnp.int32)

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.primitives import multi_searchsorted
 from ..ops.primitives import searchsorted as _searchsorted
 from ..sfc.keys import (
     common_prefix,
@@ -139,10 +140,6 @@ def build_linked_octree(leaves: jax.Array, n_leaf, cap_nodes: int | None = None)
     leaf_valid = tid < n_leaf
 
     leaf_prefix = encode_placeholder_bit(key, 3 * level)
-    prefixes = jnp.full((cap_nodes,), sentinel, dtype=dt)
-    prefixes = prefixes.at[jnp.where(leaf_valid, n_internal + tid, cap_nodes)].set(
-        leaf_prefix, mode="drop"
-    )
 
     # internal nodes: leaf tid hosts internal node (tid + weight)/7 when its
     # prefix with the next leaf has full-octal length
@@ -150,51 +147,75 @@ def build_linked_octree(leaves: jax.Array, n_leaf, cap_nodes: int | None = None)
     is_oct = (plen % 3 == 0) & (tid < n_leaf - 1)
     oct_index = (tid + _binary_key_weight(key, (plen // 3).astype(jnp.int32), lmax)) // 7
     internal_prefix = encode_placeholder_bit(key, plen)
-    prefixes = prefixes.at[jnp.where(is_oct, oct_index, cap_nodes)].set(
-        internal_prefix, mode="drop"
-    )
 
     # ---- sort by prefix, build permutations (octree.hpp:196-209) ----------
-    order = jnp.arange(cap_nodes, dtype=jnp.int32)
-    prefixes_sorted, internal_to_leaf = jax.lax.sort(
-        (prefixes, order), num_keys=1, is_stable=True
+    # SORT-formulated unsorted layout: instead of scattering leaf/internal
+    # prefixes into their unsorted slots (2 scalar scatters of cap_leaf
+    # indices, ~18ns each on TPU) and sorting that, concatenate
+    # (prefix, unsorted-slot-id) rows for both node classes and let ONE
+    # sort produce prefixes_sorted + the sorted->unsorted permutation
+    # directly. Invalid rows carry the sentinel prefix and sort behind all
+    # valid nodes; the [:cap_nodes] slice keeps every valid row because
+    # n_nodes <= cap_nodes <= 2*cap_leaf.
+    prefix_rows = jnp.concatenate([
+        jnp.where(leaf_valid, leaf_prefix, sentinel),
+        jnp.where(is_oct, internal_prefix, sentinel),
+    ])
+    id_rows = jnp.concatenate([
+        n_internal + tid,  # invalid leaves too: keeps ids unique
+        jnp.where(is_oct, oct_index, cap_nodes),
+    ])
+    prefixes_sorted, perm = jax.lax.sort(
+        (prefix_rows, id_rows), num_keys=1, is_stable=False
     )
+    prefixes_sorted = prefixes_sorted[:cap_nodes]
+    perm = perm[:cap_nodes]
     leaf_to_internal = jnp.zeros((cap_nodes,), dtype=jnp.int32)
-    leaf_to_internal = leaf_to_internal.at[internal_to_leaf].set(order)
-    internal_to_leaf = internal_to_leaf - n_internal
+    leaf_to_internal = leaf_to_internal.at[perm].set(
+        jnp.arange(cap_nodes, dtype=jnp.int32), mode="drop"
+    )
+    internal_to_leaf = perm - n_internal
 
-    # ---- level ranges (octree.hpp:169-178) --------------------------------
+    # ---- link children + parents + level ranges (octree.hpp:132-178) -----
+    # In placeholder-bit space the first child's prefix is p << 3 and the
+    # parent's is p >> 3, so all link queries are shifts of
+    # prefixes_sorted and ride ONE merged multi_searchsorted — no
+    # decode/encode gathers, no per-link scatters. Membership uses the
+    # lower/upper-bound pair (valid prefixes are unique): right - left >= 1.
+    i = jnp.arange(cap_nodes, dtype=jnp.int32)
+    plen_s = decode_prefix_length(prefixes_sorted)
+    can_child = plen_s <= 3 * lmax - 3  # max-level nodes: p<<3 would wrap
+    child_q = jnp.where(can_child, prefixes_sorted << dt.type(3), sentinel)
+
+    par_count = (cap_nodes - 1) // 8 + 1
+    strided = jax.lax.slice(
+        jnp.concatenate([prefixes_sorted,
+                         jnp.full((8,), sentinel, dt)]),
+        [1], [1 + 8 * par_count], [8],
+    )  # prefix of node 8g+1, the first child of each sibling group
+    parent_q = strided >> dt.type(3)
+
     level_starts = jnp.asarray(
         [1 << (3 * l) for l in range(lmax + 1)], dtype=np.uint64
     ).astype(dt)
-    level_range = _searchsorted(prefixes_sorted, level_starts, side="left")
-    level_range = jnp.minimum(level_range, n_nodes)
+
+    child_lo, child_hi, parent_lo, lev_lo = multi_searchsorted(
+        prefixes_sorted,
+        [child_q, child_q, parent_q, level_starts],
+        sides=["left", "right", "left", "left"],
+    )
+
+    found = (child_hi - child_lo >= 1) & can_child & (i < n_nodes)
+    child_offsets = jnp.where(found, child_lo, 0)
+    g = jnp.arange(par_count, dtype=jnp.int32)
+    par_valid = (8 * g + 1 < n_nodes) & (strided != sentinel)
+    parents = jnp.where(par_valid, parent_lo, 0)
+    parents = jnp.concatenate(
+        [parents, jnp.zeros((cap_parents - par_count,), jnp.int32)]
+    ) if cap_parents > par_count else parents[:cap_parents]
+
+    level_range = jnp.minimum(lev_lo, n_nodes)
     level_range = jnp.concatenate([level_range, n_nodes[None]])
-
-    # ---- link children + parents (octree.hpp:132-166) ---------------------
-    i = jnp.arange(cap_nodes, dtype=jnp.int32)
-    int_valid = i < n_internal
-    idx_a = leaf_to_internal[jnp.minimum(i, cap_nodes - 1)]
-    prefix_a = prefixes_sorted[idx_a]
-    node_key = decode_placeholder_bit(jnp.where(int_valid, prefix_a, dt.type(1)))
-    plen_a = decode_prefix_length(jnp.where(int_valid, prefix_a, dt.type(1)))
-    child_prefix = encode_placeholder_bit(node_key, plen_a + 3)
-
-    child_idx = _searchsorted(prefixes_sorted, child_prefix, side="left")
-    found = (
-        int_valid
-        & (child_idx < n_nodes)
-        & (prefixes_sorted[jnp.minimum(child_idx, cap_nodes - 1)] == child_prefix)
-    )
-
-    child_offsets = jnp.zeros((cap_nodes,), dtype=jnp.int32)
-    child_offsets = child_offsets.at[jnp.where(found, idx_a, cap_nodes)].set(
-        child_idx, mode="drop"
-    )
-    parents = jnp.zeros((cap_parents,), dtype=jnp.int32)
-    parents = parents.at[jnp.where(found, (child_idx - 1) // 8, cap_parents)].set(
-        idx_a, mode="drop"
-    )
 
     return LinkedOctree(
         prefixes=prefixes_sorted,

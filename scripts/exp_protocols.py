@@ -43,9 +43,14 @@ from cstone_tpu.sfc import PERIODIC, make_box
 R = 8
 
 
-def time_protocol(n_per, exchange_mode, protocol, reps=5):
+def time_protocol(n_per, exchange_mode, protocol,
+                  reps=int(os.environ.get("PROT_REPS", 2))):
     n = R * n_per
-    cap = 2 * n_per + 512
+    # generous capacities: the first sync from the uniform warm-start tree
+    # can assign far more than n/R to a rank before the boundaries
+    # converge (measured 236k owned+halo at n_per=32k), and this script
+    # measures protocol cost, not memory sizing
+    cap = 8 * n_per + 512
     rng = np.random.RandomState(42)
     pos = rng.uniform(0.0, 1.0, size=(n, 3)).astype(np.float32)
     h = np.full(n, 0.6 * (1.0 / n) ** (1 / 3), np.float32)
@@ -58,15 +63,15 @@ def time_protocol(n_per, exchange_mode, protocol, reps=5):
         out[:, :n_per] = a.reshape(R, n_per)
         return jax.device_put(jnp.asarray(out.reshape(-1)), sharding)
 
-    kw = dict(treelet_cap=16384, halo_req_cap=16384, halo_cap=4 * n_per) \
+    kw = dict(treelet_cap=32768, halo_req_cap=32768, halo_cap=8 * n_per) \
         if protocol == "ragged" else dict(
-            treelet_cap=4096, halo_req_cap=4096, halo_cap=n_per,
-            move_cap=n_per)
+            treelet_cap=8192, halo_req_cap=8192, halo_cap=2 * n_per,
+            move_cap=2 * n_per)
 
     def make_domain(rank):
         return Domain(
             rank=rank, n_ranks=R, bucket_size=64, bucket_size_focus=64,
-            key_dtype=jnp.uint64, tree_capacity=16384, focus_capacity=16384,
+            key_dtype=jnp.uint64, tree_capacity=65536, focus_capacity=65536,
             axis_name=rank_axis, exchange_mode=exchange_mode,
             protocol=protocol if exchange_mode == "p2p" else None,
             local_capacity=cap, **(kw if exchange_mode == "p2p" else {}),

@@ -99,6 +99,18 @@ def main():
     state, res = sync_j(state, x, y, z)
     _sync_one(res.keys)
 
+    # PROF_DRIFT=1: profile the prefixes on positions drifted ~20% of the
+    # interparticle spacing from the warmed state — the bench steady state
+    # (every step pays the incremental tree rebuild + fresh linked build),
+    # not the stationary fixed point (which short-circuits both)
+    if os.environ.get("PROF_DRIFT", "1") == "1":
+        spacing = (1.0 / n) ** (1.0 / 3.0)
+        drift = jnp.asarray(
+            rng.uniform(-0.2, 0.2, size=(n, 3)).astype(np.float32) * spacing)
+        x = (x + drift[:, 0]) % 1.0
+        y = (y + drift[:, 1]) % 1.0
+        z = (z + drift[:, 2]) % 1.0
+
     nl = jnp.int32(n)
     slot = jnp.arange(n, dtype=jnp.int32)
 
@@ -157,9 +169,9 @@ def main():
     px, py, pz, ph = packed
     r2 = jnp.where(valid, (2.0 * ph) ** 2, jnp.float32(-1.0))
     if impl == "pallas":
-        from cstone_tpu.ops.pallas_stencil import stencil_counts_pallas
+        from cstone_tpu.ops.pallas_stencil import stencil_counts_pallas_sym
         periodic = tuple(int(b) == 1 for b in box.boundaries)
-        st_j = jax.jit(lambda a, b, c, d, e: stencil_counts_pallas(
+        st_j = jax.jit(lambda a, b, c, d, e: stencil_counts_pallas_sym(
             a, b, c, d, e, box.lengths, periodic, cell_level))
     else:
         from cstone_tpu.traversal.celllist import stencil_neighbor_counts
