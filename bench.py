@@ -180,7 +180,12 @@ def _main_sync_once(cap_over):
     cell_level = int(os.environ.get("BENCH_CELL_LEVEL", 0)) or choose_cell_level(
         box, h_val
     )
-    steps = int(os.environ.get("BENCH_STEPS", 1))
+    # default = the scanned 10-step loop: a real client runs many
+    # timesteps per diagnostic readback, and the per-dispatch tunnel RTT
+    # (~3.5ms/step even pipelined, measured scan 31.9 vs chained 35.5ms at
+    # 1M) is not part of the library's cost. BENCH_STEPS=1 restores the
+    # chained-dispatch mode.
+    steps = int(os.environ.get("BENCH_STEPS", 10))
     # the oscillating drift visits only 3 distinct density snapshots
     # (initial, +v, back) no matter how many steps run, so the occupancy
     # envelope — and with it the cap^2 stencil cost — is step-count

@@ -231,7 +231,7 @@ def ell_pack_gather(
     cap: int,
     level: int,
     n_valid=None,
-    blk: int = 16,
+    blk: int = 64,
     cell_override: jax.Array = None,
 ) -> Tuple[Tuple[jax.Array, ...], jax.Array, jax.Array, jax.Array]:
     """Run-window ELL pack: one stacked row gather over per-cell runs.
@@ -309,14 +309,20 @@ def ell_pack_gather(
     rows = jnp.minimum((s_rm // blk)[:, None] + r[None, :], nrowB - 1)
     win = stackedB[rows].reshape(n_cells, nr * blk * F)
     off = s_rm % blk
-    out = jnp.zeros((n_cells, cap * F), jnp.float32)
-    for k in range(blk):
-        out = jnp.where(
-            (off == k)[:, None],
-            jax.lax.slice_in_dim(win, F * k, F * k + cap * F, axis=1),
-            out,
-        )
-    blk4 = out.reshape(n_cells, cap, F)
+    # binary-select realign: log2(blk) conditional shifts instead of a
+    # blk-way one-hot select — larger blk then strictly wins (fewer gather
+    # rows at ~18ns/index each, same realign cost: blk 16->64 cuts row
+    # indices 2.5x and the realign to 6 passes)
+    rem = blk - 1
+    b = blk >> 1
+    while b:
+        w_next = cap * F + (rem - b) * F
+        keep = jax.lax.slice_in_dim(win, 0, w_next, axis=1)
+        shift = jax.lax.slice_in_dim(win, b * F, b * F + w_next, axis=1)
+        win = jnp.where(((off & b) != 0)[:, None], shift, keep)
+        rem -= b
+        b >>= 1
+    blk4 = win.reshape(n_cells, cap, F)
 
     j = jnp.arange(cap, dtype=jnp.int32)
     valid = j[None, :] < c_rm[:, None]
@@ -491,10 +497,24 @@ def cell_list_neighbor_counts(
     # back to particle order via ONE sort instead of a per-particle
     # gather (XLA TPU gathers cost ~50ms/M indices; sorts ~5ms/M): the
     # pack recorded each slot's particle index (empty slots sort last)
-    pidx_s, counts_s = jax.lax.sort(
-        (pidx.reshape(-1), counts_ell.reshape(-1)), num_keys=1, is_stable=False
-    )
-    counts = counts_s[:n].astype(jnp.uint32)
+    count_bits = int(27 * cap).bit_length()  # counts <= 27*cap structurally
+    if (n + 1) << count_bits < (1 << 31):
+        # fused-key backmap: (pidx << bits | count) rides ONE u32 sort
+        # (half the sort payload). Empty slots carry pidx = INT32_MAX,
+        # whose shifted u32 wrap (2^32 - 2^bits) still sorts after every
+        # valid key (< 2^31).
+        key = (
+            (pidx.reshape(-1).astype(jnp.uint32) << count_bits)
+            | counts_ell.reshape(-1).astype(jnp.uint32)
+        )
+        key_s = jax.lax.sort(key)
+        counts = key_s[:n] & jnp.uint32((1 << count_bits) - 1)
+    else:
+        pidx_s, counts_s = jax.lax.sort(
+            (pidx.reshape(-1), counts_ell.reshape(-1)), num_keys=1,
+            is_stable=False,
+        )
+        counts = counts_s[:n].astype(jnp.uint32)
     return counts, overflow
 
 
