@@ -254,25 +254,40 @@ def rebalance_tree(
     level_diff = log8_ceil(node_ops.astype(dt))
     new_level = jnp.minimum(level + level_diff, lmax).astype(jnp.int32)
 
-    # node 0 never merges (sibling 0), so output slot 0 always receives a
-    # record and the scan fills start from real data, not the zero init
-    emit = ops > 0
-    tgt = jnp.where(emit, exc, cap)  # cap = dropped
-    key_scat = jnp.zeros((cap,), dt).at[tgt].set(this, mode="drop")
-    # packed record: exc strictly increases over emitting sources, so the
-    # running max always carries the LATEST source's record; 5 bits hold
-    # new_level (lmax <= 21); exc*32 stays far below 2^31 for any capacity
+    # source of output slot j: the unique emitter m with exc[m] <= j <
+    # inc[m], i.e. src(j) = #nodes with inc <= j. inc is monotone, so one
+    # merged searchsorted answers every slot (~1.5ms at 400k), and ONE
+    # stacked row-gather fetches each source's (key, slot/level) record —
+    # replacing two cap-sized scalar scatters + two log-depth u64 scans
+    # (~27ms at capacity 400k, the dominant term of the 2M rebuild after
+    # the r5 gather-free decision; scripts/exp_tree.py / exp_count.py).
+    from ..ops.primitives import multi_searchsorted
+
+    j = jnp.arange(cap, dtype=jnp.int32)
+    src = multi_searchsorted(inc, [j], side="right")[0]
+    src = jnp.minimum(src, cap - 1)
+    # packed record: 5 bits hold new_level (lmax <= 21); exc*32 stays far
+    # below 2^31 for any capacity
     meta = exc * 32 + new_level
-    meta_scat = jnp.zeros((cap,), jnp.int32).at[tgt].set(meta, mode="drop")
-    # associative_scan (log-depth slice+max) rather than lax.cummax: the
-    # 64-bit reduce-window lowering can blow scoped VMEM at multi-M sizes
-    # (see ops/primitives.cumsum64)
-    key_fill = jax.lax.associative_scan(jnp.maximum, key_scat)
-    meta_fill = jax.lax.associative_scan(jnp.maximum, meta_scat)
+    if dt == jnp.uint64:
+        rows = jnp.stack([
+            (this >> jnp.uint64(32)).astype(jnp.uint32),
+            this.astype(jnp.uint32),
+            meta.astype(jnp.uint32),
+        ], axis=-1)[src]
+        key_fill = (
+            rows[:, 0].astype(jnp.uint64) << jnp.uint64(32)
+        ) | rows[:, 1].astype(jnp.uint64)
+        meta_fill = rows[:, 2].astype(jnp.int32)
+    else:
+        rows = jnp.stack(
+            [this.astype(jnp.uint32), meta.astype(jnp.uint32)], axis=-1
+        )[src]
+        key_fill = rows[:, 0].astype(dt)
+        meta_fill = rows[:, 1].astype(jnp.int32)
     first_slot = meta_fill // 32
     lvl = meta_fill % 32
 
-    j = jnp.arange(cap, dtype=jnp.int32)
     s = (j - first_slot).astype(dt)
     new_key = key_fill + s * node_range(dt, lvl)
     end_key = node_range(dt, 0)
